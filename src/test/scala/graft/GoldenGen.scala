@@ -1,0 +1,67 @@
+package graft
+
+import graft.extract.{CascadeConfig, CascadeExtractor}
+import graft.table.SyntheticPages
+import java.nio.file.{Files, Paths, Path}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Regenerates the frozen golden fixtures under src/test/resources/golden.
+  *
+  * The goldens are outputs of OUR spec'd extraction semantics (SURVEY.md
+  * §5: the reference ships no golden files and its Python deps are not
+  * installable offline), frozen once and then enforced byte-for-byte by
+  * GoldenSpec. Regenerate ONLY on a deliberate, documented semantics
+  * change: `sbt "Test/runMain graft.GoldenGen"`.
+  */
+object GoldenGen {
+  val CorpusSize = 500
+  val Seed = 42L
+  /** representative ids, one per family (computed in main). */
+
+  def digestLine(id: Long): String = {
+    val page = SyntheticPages.pageFor(Seed, id)
+    val ex = CascadeExtractor.pooled().extract(page.url, page.html, CascadeConfig())
+    val md = MessageDigest.getInstance("SHA-256")
+    val textHash =
+      if (ex.extracted_text == null) "-"
+      else hex(md.digest(ex.extracted_text.getBytes(StandardCharsets.UTF_8))).take(16)
+    val meta = Seq(
+      Option(ex.title).getOrElse("-"),
+      Option(ex.author).getOrElse("-"),
+      Option(ex.publish_date).map(_.toInstant.toString).getOrElse("-"),
+      Option(ex.failure_reason).getOrElse("-"),
+      ex.warnings.mkString(";") match { case "" => "-"; case w => w },
+      ex.spans.size.toString)
+    s"$id|${page.url}|${Option(ex.strategy_used).getOrElse("-")}|${ex.succeeded}|${ex.partial}|" +
+      s"${if (ex.extracted_text == null) -1 else ex.extracted_text.length}|$textHash|${meta.mkString("|")}"
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get("src/test/resources/golden")
+    Files.createDirectories(dir)
+
+    val lines = (0L until CorpusSize).map(digestLine)
+    Files.write(dir.resolve("corpus_digests.txt"),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+    // full-text goldens: first id of each family within the corpus
+    val byFamily = (0L until CorpusSize)
+      .groupBy(id => SyntheticPages.familyOf(Seed, id))
+      .map { case (f, ids) => f -> ids.min }
+    val fullDir = dir.resolve("fulltext")
+    Files.createDirectories(fullDir)
+    byFamily.toSeq.sortBy(_._1).foreach { case (family, id) =>
+      val page = SyntheticPages.pageFor(Seed, id)
+      val ex = CascadeExtractor.pooled().extract(page.url, page.html, CascadeConfig())
+      val text = if (ex.extracted_text == null) "" else ex.extracted_text
+      Files.write(fullDir.resolve(s"$family-$id.txt"),
+        text.getBytes(StandardCharsets.UTF_8))
+      println(s"family=$family id=$id strategy=${ex.strategy_used} " +
+        s"succeeded=${ex.succeeded} partial=${ex.partial} len=${text.length}")
+    }
+    println(s"wrote ${lines.size} digest lines + ${byFamily.size} fulltext goldens to $dir")
+  }
+}
