@@ -1,0 +1,122 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One vector-index row (core/rag/stores/base.py:11-23 → typed). */
+final case class IndexDoc(
+    id: String,
+    content: String,
+    embedding: Array[Float],
+    url: String,
+    chunk_index: Int,
+    title: String)
+
+/** Vector math as Catalyst higher-order functions — codegen-friendly,
+  * no UDFs, stays inside WholeStageCodegen.
+  */
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity with zero-vector guard. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+}
+
+/** Retrieval engine: embed → index → broadcast-scalar cosine top-k.
+  *
+  * Scale shape (SURVEY.md §2.5): the query vector is a literal (one
+  * broadcast scalar); scoring is a projection over the index table;
+  * `orderBy(desc).limit(k)` plans as TakeOrderedAndProject — a
+  * distributed top-k with per-partition heaps, no global sort, no
+  * shuffle of the full index.
+  */
+object Rag {
+
+  /** chunks(url, chunk_index, chunk_text[, title]) → index rows.
+    * Embedding runs in mapPartitions with a per-partition embedder
+    * handle and reference-style batching (100/batch) — the pooled-
+    * model pattern (sentence_transformer.py:28-48).
+    */
+  def buildIndex(chunks: DataFrame, embedder: Embedder = new DeterministicHashEmbedder()): Dataset[IndexDoc] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val withTitle =
+      if (chunks.columns.contains("title")) chunks
+      else chunks.withColumn("title", lit(null).cast("string"))
+    withTitle
+      .select(col("url"), col("chunk_index").cast("int"), col("chunk_text"),
+        col("title"))
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        it.grouped(100).flatMap { batch =>
+          val vecs = embedder.embedBatch(batch.map(_._3))
+          batch.iterator.zip(vecs.iterator).map { case ((url, ci, text, title), v) =>
+            IndexDoc(
+              id = url.replace('/', '_').replace(':', '_') + "_chunk_" + ci,
+              content = text, embedding = v, url = url, chunk_index = ci,
+              title = title)
+          }
+        }
+      }
+  }
+
+  /** Cosine top-k search (core/rag/stores/file_store.py:82-127).
+    *
+    * `parityPostKFilter = true` reproduces the reference quirk of
+    * applying metadata filters AFTER the k-cut (can return < k rows
+    * even when k matches exist, file_store.py:104-121); false applies
+    * them before — the sane default for new callers.
+    */
+  def search(
+      index: DataFrame,
+      query: Array[Float],
+      topK: Int = 10,
+      threshold: Double = 0.0,
+      filters: Map[String, String] = Map.empty,
+      parityPostKFilter: Boolean = true): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val scored = index
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), q))
+      .where(col("score") >= threshold)
+    def applyFilters(df: DataFrame): DataFrame =
+      filters.foldLeft(df) { case (d, (k, v)) => d.where(col(k) === lit(v)) }
+    val base = if (parityPostKFilter) scored else applyFilters(scored)
+    // deterministic tiebreak by id (numpy argsort ties are order-
+    // dependent; a distributed engine needs a total order)
+    val cut = base.orderBy(desc("score"), asc("id")).limit(topK)
+    if (parityPostKFilter) applyFilters(cut) else cut
+  }
+
+  /** get_document by id (file_store.py:129-131). */
+  def getDocument(index: DataFrame, id: String): DataFrame =
+    index.where(col("id") === lit(id))
+
+  /** delete_document as an anti-filter (file_store.py:133-159); the
+    * caller rewrites/commits the result.
+    */
+  def deleteDocument(index: DataFrame, id: String): DataFrame =
+    index.where(col("id") =!= lit(id))
+
+  /** Index stats (file_store.py:161-168). */
+  def stats(index: DataFrame): DataFrame =
+    index.agg(
+      count(lit(1)).as("total_documents"),
+      max(size(col("embedding"))).as("embedding_dimension"))
+
+  /** Query formatting (core/rag/query.py:109-141): `[Result i, Score:
+    * %.3f]\ncontent` joined by `\n\n---\n\n`. Driver-side over <= k rows.
+    */
+  def formatResults(results: Seq[(String, Double)]): String =
+    results.zipWithIndex.map { case ((content, score), i) =>
+      f"[Result ${i + 1}%d, Score: $score%.3f]%n$content".replace(
+        System.lineSeparator(), "\n")
+    }.mkString("\n\n---\n\n")
+}

@@ -1,0 +1,101 @@
+package graft.jobs
+
+import graft.table.{IcebergLite, SyntheticPages}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** North-rule job mechanics: unit-granular checkpointed resume
+  * (kill-and-rerun yields an identical table), manifest lineage,
+  * size-bucketed processing.
+  */
+class ExtractJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("extract-job-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val nPages = 240L
+  private val cfg = ExtractJobConfig(nUnits = 6, partitionsPerUnit = 4)
+
+  private def unitPages(u: Int): DataFrame = {
+    import spark.implicits._
+    val perUnit = nPages / cfg.nUnits
+    spark.range(u * perUnit, (u + 1) * perUnit, 1, 2)
+      .mapPartitions(_.map(id => SyntheticPages.pageFor(42L, id))).toDF()
+  }
+
+  private def tableDigest(t: IcebergLite): Seq[(String, String)] =
+    t.read(spark)
+      .select(col("url"), concat_ws("§", col("strategy_used"),
+        col("succeeded"), col("partial"), sha2(coalesce(col("extracted_text"), lit("")), 256)).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("kill-and-rerun resume produces an identical committed table") {
+    val cleanDir = Files.createTempDirectory("graft-clean").toString
+    val resumeDir = Files.createTempDirectory("graft-resume").toString
+    val clean = new IcebergLite(cleanDir)
+    val resumed = new IcebergLite(resumeDir)
+
+    // uninterrupted run
+    val ranClean = ExtractJob.runUnits(spark, unitPages, clean, cfg)
+    assert(ranClean == (0 until cfg.nUnits))
+
+    // killed after 2 units, then rerun
+    intercept[RuntimeException] {
+      ExtractJob.runUnits(spark, unitPages, resumed, cfg, failAfterUnits = 2)
+    }
+    assert(resumed.committedUnits(spark) == Seq(0, 1))
+    val ranResume = ExtractJob.runUnits(spark, unitPages, resumed, cfg)
+    assert(ranResume == (2 until cfg.nUnits)) // committed units skipped
+
+    assert(tableDigest(clean) == tableDigest(resumed))
+    clean.drop(spark); resumed.drop(spark)
+  }
+
+  test("manifest carries per-unit lineage and strategy histogram") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val t = new IcebergLite(dir)
+    ExtractJob.runUnits(spark, unitPages, t, cfg)
+    val m = t.manifest(spark)
+    assert(m.count() == cfg.nUnits)
+    val cols = m.columns.toSet
+    assert(cols.contains("rows") && cols.contains("bytes") && cols.contains("unit"))
+    assert(cols.exists(_.startsWith("strategy_")))
+    val totalRows = m.agg(sum(col("rows").cast("long"))).collect()(0).getLong(0)
+    assert(totalRows == nPages)
+    // output rows carry task-partition lineage
+    assert(t.read(spark).columns.contains("task_partition"))
+    t.drop(spark)
+  }
+
+  test("oversized pages flow through the big bucket and extract correctly") {
+    import spark.implicits._
+    // find an oversized-family id in the first 500
+    val bigId = (0L until 500L).find(id =>
+      SyntheticPages.familyOf(42L, id) == "oversized").get
+    val df = spark.range(bigId, bigId + 1).mapPartitions(
+      _.map(id => SyntheticPages.pageFor(42L, id))).toDF()
+    val out = ExtractJob.processUnit(df, cfg.copy(bigHtmlBytes = 100 * 1024))
+    val row = out.select("strategy_used", "succeeded").collect()(0)
+    assert(row.getBoolean(1))
+  }
+
+  test("host-grouped mode with salting spreads the hot host") {
+    import spark.implicits._
+    // skew family: all rows on host-0.example
+    val skewIds = (0L until 2000L).filter(id =>
+      SyntheticPages.familyOf(42L, id) == "skew").take(60)
+    val df = spark.createDataset(skewIds).mapPartitions(
+      _.map(id => SyntheticPages.pageFor(42L, id))).toDF()
+    val out = ExtractJob.processUnit(df,
+      cfg.copy(groupByHost = true, hostBudget = 10, saltBuckets = 4))
+    val parts = out.select("task_partition").distinct().count()
+    assert(parts > 1, s"hot host not spread: $parts partition(s)")
+  }
+}
