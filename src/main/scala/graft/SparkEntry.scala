@@ -1,7 +1,16 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator carries a DuckDB oracle below (same
+  * logic, same rounding, same total ORDER BY). Kernel operators
+  * (extraction cascade, chunker, minhash/simhash, LSH-ANN, multimodal)
+  * get rows-only driver checks — their byte-level correctness is pinned
+  * by the golden/parity specs under src/test.
+  */
 object SparkEntry {
   /** Flagship: the extraction cascade (the north-star operator) over the
     * deterministic synthetic pages corpus. Driver smoke-checks rows>0.
@@ -18,8 +27,14 @@ object SparkEntry {
     else if (dir.contains("sf0.01")) 5000L
     else 1000L
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** Embedding of a fixed anchor row, used as the ANN query vector. */
+  private def anchorVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).toArray
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational coverage (SURVEY.md §2.6) ----------------
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -30,10 +45,46 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
-    // The cascade extractor (SURVEY.md §2.2/§2.4): synthetic pages →
-    // Dataset[Extracted]; per-row, shuffle-free; not SQL-expressible →
-    // rows-only driver check; byte-level correctness is pinned by the
-    // frozen goldens in GoldenSpec.
+    "join_enrich" -> ((s, dir) =>
+      // broadcast dim join: orders enriched by customer segment
+      t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))),
+
+    "window_topk" -> ((s, dir) => {
+      // top-2 orders per customer by price (rank window, total order)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "anti_join" -> ((s, dir) =>
+      // customers with no orders (left anti — the resume-join shape)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    "events_window" -> ((s, dir) => {
+      // event-stream shape: per-user running value sum ordered by time
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---------------- extraction tier (north rule) ----------------
     "cascade_extract" -> ((s, dir) => {
       val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
       graft.extract.Extract.extractPages(pages.toDF())
@@ -42,16 +93,194 @@ object SparkEntry {
           col("partial"), length(col("extracted_text")).as("text_len"),
           col("title"), col("failure_reason"))
         .orderBy(col("url"))
+    }),
+
+    "chunk_documents" -> ((s, dir) => {
+      // sentence-preserving chunker (bit-parity with the reference,
+      // see ChunkerSpec) over the documents table
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.text.Chunker.chunk(text,
+            graft.text.ChunkConfig(chunkSize = 200, overlap = 30, minChunkSize = 20))
+            .map(c => (id, c.chunk_id, c.text, c.start, c.end))
+        }
+        .toDF("doc_id", "chunk_id", "chunk_text", "start", "end")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---------------- dedup family ----------------
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exact(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.trigramJaccardPairs(
+          t(s, dir, "documents").where(col("doc_id") < 2000), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashLshPairs(
+          t(s, dir, "documents").where(col("doc_id") < 2000),
+          threshold = 0.8, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(
+          t(s, dir, "documents").where(col("doc_id") < 2000), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "neardup_cosine" -> ((s, dir) =>
+      graft.ops.Dedup.cosineNearDupPairs(
+          t(s, dir, "embeddings").where(col("vec_id") < 2000)
+            .withColumn("embedding", col("embedding").cast("array<double>")),
+          threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---------------- similarity search ----------------
+    "ann_brute" -> ((s, dir) =>
+      graft.ops.Similarity.bruteTopK(
+        t(s, dir, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        anchorVec(s, dir), k = 10)),
+
+    "ann_lsh" -> ((s, dir) => {
+      val idx = graft.ops.Similarity.lshIndex(t(s, dir, "embeddings"), bits = 8)
+      graft.ops.Similarity.lshTopK(idx, anchorVec(s, dir), k = 10,
+        bits = 8, probeHamming = 2)
+    }),
+
+    "rag_topk" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.text.Chunker.chunk(text,
+            graft.text.ChunkConfig(chunkSize = 200, overlap = 30, minChunkSize = 20))
+            .map(c => (s"doc://$id", c.chunk_id, c.text))
+        }
+        .toDF("url", "chunk_index", "chunk_text")
+      val index = graft.rag.Rag.buildIndex(chunks).toDF()
+      val embedder = new graft.rag.DeterministicHashEmbedder()
+      graft.rag.Rag.search(index,
+          embedder.embedOne("spark query table row filter"), topK = 10)
+        .select(col("id"), col("score"))
+    }),
+
+    // ---------------- text analysis ----------------
+    "text_analysis" -> ((s, dir) =>
+      graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // ---------------- multimodal plumbing ----------------
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(0, pagesFor(dir) / 2, 1, 8)
+        .map(id => (id, graft.ops.Multimodal.fakeMedia(id)))
+        .toDF("id", "payload")
+      graft.ops.Multimodal.resizeStub(graft.ops.Multimodal.decode(media))
+        .orderBy(col("id"))
     })
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB oracles. Same logic, same rounding, same ORDER BY. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price,
         |round(avg(l_discount), 6) AS avg_disc,
-        |count(*) AS n FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |count(*) AS n FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "join_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "events_window" ->
+      """SELECT event_id, user_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash,
+        |count(*) AS dup_count
+        |FROM documents GROUP BY sha256(text) ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH arrs AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents WHERE doc_id < 2000),
+        |toks AS (
+        |  SELECT id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(arr)-1, 1)),
+        |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS tok
+        |  FROM arrs),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |shared AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
+        |FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "neardup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000)::BIGINT AS cos_bp
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute" ->
+      """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) * 10000)::BIGINT AS score_bp
+        |FROM embeddings ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin,
+
+    "text_analysis" ->
+      ("""WITH base AS (SELECT doc_id, text, trim(text) AS t FROM documents),
+        |c AS (SELECT doc_id, text, t,
+        |  CASE WHEN length(t) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(t, '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(lower(t), '\b(""" +
+        graft.ops.TextAnalysis.langStopwords("en").mkString("|") + """)\b')) AS c_en,
+        |  len(regexp_extract_all(lower(t), '\b(""" +
+        graft.ops.TextAnalysis.langStopwords("de").mkString("|") + """)\b')) AS c_de,
+        |  len(regexp_extract_all(lower(t), '\b(""" +
+        graft.ops.TextAnalysis.langStopwords("fr").mkString("|") + """)\b')) AS c_fr,
+        |  len(regexp_extract_all(lower(t), '\b(""" +
+        graft.ops.TextAnalysis.langStopwords("es").mkString("|") + """)\b')) AS c_es,
+        |  len(regexp_extract_all(t, '[.!?]')) AS sents,
+        |  length(regexp_replace(t, '[\p{L}\p{N}\s.,!?;:''"-]', '', 'g')) AS syms
+        |FROM base)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |       WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |       WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+        |       WHEN c_es > 0 THEN 'es' ELSE 'und' END AS lang_guess,
+        |  floor(greatest(0.0,
+        |    least(length(t) / 500.0, 1.0) * 0.35 +
+        |    least(sents / greatest(n_tokens / 25.0, 1.0), 1.0) * 0.25 +
+        |    least(c_en * 10.0 / greatest(n_tokens, 1), 1.0) * 0.25 +
+        |    (1.0 - least(syms * 5.0 / greatest(length(t), 1), 1.0)) * 0.15) * 10000)::BIGINT AS quality_bp,
+        |  sha256(regexp_replace(lower(t), '\s+', ' ', 'g')) AS fingerprint
+        |FROM c ORDER BY doc_id""").stripMargin
   )
 }

@@ -1,0 +1,283 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over a
+  * documents(doc_id, text, ...) table. All are shuffle-conscious:
+  * exact dedup is one hash aggregation; MinHash/SimHash build
+  * fixed-width signatures per row (map-side) and shuffle only
+  * (bucket-key, id) pairs, never full texts, until the final verify
+  * join — the shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct text (min doc_id wins).
+    * One hash aggregate over a 64-char digest — never groups by the
+    * full text bytes (at 100 TB the shuffle carries digests only).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "text_hash", "dup_count")
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Word-shingle set hashed to 64-bit values. */
+  private[ops] def shingleHashes(text: String, k: Int): Array[Long] = {
+    val tokens = tokenize(text)
+    if (tokens.length < k) {
+      if (tokens.isEmpty) Array.empty
+      else Array(hashTokens(tokens, 0, tokens.length))
+    } else {
+      val set = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i + k <= tokens.length) {
+        set.add(hashTokens(tokens, i, i + k))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  private def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && graft.text.PyText.isPySpace(text.charAt(i))) i += 1
+      val s = i
+      while (i < n && !graft.text.PyText.isPySpace(text.charAt(i))) i += 1
+      if (i > s) out += text.substring(s, i).toLowerCase
+    }
+    out.toArray
+  }
+
+  private def mix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  private def hashTokens(tokens: Array[String], from: Int, to: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < to) {
+      h = h * 0x100000001b3L + tokens(i).hashCode
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** MinHash signature: numHashes seeded permutations approximated by
+    * h_i(x) = mix(x ^ seed_i) minimum over the shingle set.
+    */
+  private[ops] def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val x = shingles(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = mix(x ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private[ops] def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[java.lang.Long]()
+    a.foreach(sa.add(_))
+    var inter = 0
+    val sb = new java.util.HashSet[java.lang.Long]()
+    b.foreach { x => if (sb.add(x) && sa.contains(x)) inter += 1 }
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** MinHash+LSH near-duplicate pairs:
+    * shingle → minhash → band buckets → bucket join → exact-jaccard
+    * verify. Only (band-hash, id) pairs shuffle; texts are re-read just
+    * for the verified candidate set.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sig = minhashSignature(shingleHashes(text, shingleSize), numHashes)
+        val bandKeys = Array.tabulate(bands) { b =>
+          var h = 1469598103934665603L ^ b
+          var r = 0
+          while (r < rowsPerBand) { h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001b3L; r += 1 }
+          h
+        }
+        (id, bandKeys)
+      })
+      .toDF("doc_id", "band_keys")
+
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(docs, candidates, threshold, shingleSize)
+  }
+
+  /** Exact-jaccard verification of candidate id pairs. */
+  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+      threshold: Double, shingleSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+    candidates
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (a, b, ta, tb) =>
+        (a, b, jaccard(shingleHashes(ta, shingleSize), shingleHashes(tb, shingleSize)))
+      })
+      .toDF("id_a", "id_b", "j")
+      .where(col("j") >= threshold)
+      .withColumn("jaccard_bp", floor(col("j") * 10000).cast("long"))
+      .select("id_a", "id_b", "jaccard_bp")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over token hashes. */
+  private[ops] def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val tokens = tokenize(text)
+    var i = 0
+    while (i < tokens.length) {
+      val h = mix(tokens(i).hashCode.toLong * 0x9e3779b97f4a7c15L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bit flips, found via
+    * the pigeonhole block trick: split the 64-bit hash into
+    * maxHamming+1 blocks — any pair within distance d shares at least
+    * one exact block; join per block, then verify distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocks = maxHamming + 1
+    val bits = 64 / blocks
+
+    val hashed = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash64(t)) })
+      .toDF("doc_id", "simhash")
+
+    val keyed = hashed.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map { b =>
+        struct(lit(b).as("block"),
+          shiftright(col("simhash"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.block").as("block"), col("bk.key").as("key"))
+
+    val hamming = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    keyed.as("a").join(keyed.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-trigram-set Jaccard pairs via a shingle inverted
+    * index — SQL-expressible (DuckDB oracle in SparkEntry). Shuffles
+    * (shingle, id) pairs; at scale, common-shingle filtering (df cap)
+    * bounds the self-join fan-out.
+    */
+  def trigramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxDocFreq: Long = 1000000): DataFrame = {
+    val arr = split(lower(trim(col("text"))), "\\s+")
+    val grams = when(size(arr) >= lit(3),
+      array_distinct(transform(sequence(lit(1), size(arr) - 2),
+        i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1),
+          element_at(arr, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val toks = docs
+      .select(col("doc_id").cast("long").as("id"), explode(grams).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+    val filtered = toks.join(freq.select("tok"), "tok")
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = filtered.as("a").join(filtered.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("j", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("j") >= threshold)
+      // basis points via floor: bit-stable across engines (Spark round()
+      // goes through the decimal string; DuckDB rounds the binary double
+      // — they disagree on exact .00005 boundaries, floor never does
+      // when the unrounded doubles are identical)
+      .withColumn("jaccard_bp", floor(col("j") * 10000).cast("long"))
+      .select("id_a", "id_b", "jaccard_bp")
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force; the LSH-bucketed
+    * scale path is Similarity.lshCandidates → verify).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    import graft.rag.VectorFunctions.cosine
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("c", cosine(col("emb_a"), col("emb_b")))
+      .where(col("c") >= threshold)
+      .withColumn("cos_bp", floor(col("c") * 10000).cast("long"))
+      .select("id_a", "id_b", "cos_bp")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.rag.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  *  - [[bruteTopK]]: exact cosine top-k. The query is a broadcast
+  *    scalar; scoring is a codegen'd projection; the k-cut plans as
+  *    TakeOrderedAndProject (per-partition heaps, no full sort) — this
+  *    is already the right 100 TB shape for ONE query.
+  *  - [[lshTopK]]: random-hyperplane LSH. Vectors are bucketed by a
+  *    b-bit signature once (a materializable index); a query probes
+  *    only buckets within `probeHamming` bits — the scale path for
+  *    many queries / self-join workloads.
+  */
+object Similarity {
+
+  def bruteTopK(embeddings: DataFrame, query: Array[Float], k: Int = 10): DataFrame =
+    embeddings
+      .withColumn("score_bp",
+        floor(VectorFunctions.cosine(col("embedding"), typedLit(query.toSeq)) * 10000)
+          .cast("long"))
+      .orderBy(desc("score_bp"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "score_bp")
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a hash-derived value in [-1, 1).
+    */
+  private[ops] def hyperplane(p: Int, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      var h = (p.toLong << 32) ^ (j * 0x9e3779b97f4a7c15L)
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      v(j) = ((h >>> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0).toFloat
+      j += 1
+    }
+    v
+  }
+
+  private[ops] def signature(vec: Array[Float], bits: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < bits) {
+      val plane = hyperplane(p, vec.length)
+      var dot = 0.0
+      var j = 0
+      while (j < vec.length) { dot += vec(j).toDouble * plane(j); j += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Bucket the embedding table by LSH signature (the index build). */
+  def lshIndex(embeddings: DataFrame, bits: Int = 12): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, signature(v, bits)) })
+      .toDF("vec_id", "embedding", "bucket")
+  }
+
+  /** ANN top-k: probe the query's bucket plus all buckets within
+    * `probeHamming` bit flips, exact-rescore candidates, take k.
+    */
+  def lshTopK(index: DataFrame, query: Array[Float], k: Int = 10,
+      bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val qSig = signature(query, bits)
+    val probes = (0 until (1 << bits))
+      .filter(b => java.lang.Integer.bitCount(b ^ qSig) <= probeHamming)
+    index
+      .where(col("bucket").isin(probes: _*))
+      .withColumn("score_bp",
+        floor(VectorFunctions.cosine(col("embedding"), typedLit(query.toSeq)) * 10000)
+          .cast("long"))
+      .orderBy(desc("score_bp"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "score_bp")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup: canonical row per distinct text") {
+    val base = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(base).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1 && out(0).getLong(2) == 2) // min id, dup_count
+  }
+
+  test("minhash-LSH finds the same pairs as exact trigram jaccard (full recall here)") {
+    val exact = Dedup.trigramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8, shingleSize = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // the corpus plants near-dups
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: near-dup texts within small hamming distance, unrelated far") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and once")
+    val c = Dedup.simhash64("completely different words about spark shuffle partitions")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+    // pair query finds planted near-dups
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+    assert(pairs.count() > 0)
+  }
+
+  test("LSH-ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.lshIndex(emb, bits = 8)
+    val approx = Similarity.lshTopK(idx, q, 10, bits = 8, probeHamming = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall brute=$brute approx=$approx")
+    // the query vector itself must always be found
+    assert(approx.contains(1L))
+  }
+
+  test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
+    val t1 = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val t2 = "PREFIX then " + t1 + " plus a suffix"
+    val f1 = TextAnalysis.winnow(t1).toSet
+    val f2 = TextAnalysis.winnow(t2).toSet
+    assert(TextAnalysis.winnow(t1).toSeq == TextAnalysis.winnow(t1).toSeq)
+    val overlap = (f1 & f2).size.toDouble / f1.size
+    assert(overlap > 0.6, s"winnow overlap=$overlap")
+    assert(TextAnalysis.winnow("short").isEmpty == ("short".length < 8))
+  }
+
+  test("langId: picks the right stopword language") {
+    val df = Seq(
+      ("the cat is on the mat and it was good", "en"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("le chat est dans la maison et il est pour les enfants", "fr"),
+      ("el perro es grande y no es para los gatos", "es"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val out = df.withColumn("got", TextAnalysis.langId(col("text"))).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1), r.getString(0)))
+  }
+
+  test("multimodal plumbing: decode/resize/frame-sample stubs over binary columns") {
+    val media = spark.range(0, 50).map(id => (id, Multimodal.fakeMedia(id)))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decode(media).cache()
+    assert(decoded.count() == 50)
+    assert(decoded.where(!col("valid")).count() == 0)
+    assert(decoded.select("kind").distinct().count() == 3)
+    val resized = Multimodal.resizeStub(decoded, maxSide = 128)
+    val bad = resized.where(greatest(col("out_width"), col("out_height")) > 128)
+    assert(bad.count() == 0)
+    val frames = Multimodal.frameSampleStub(decoded, stride = 10)
+    assert(frames.count() > 0)
+    // corrupt payload → valid=false row, not an exception
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val d = Multimodal.decode(corrupt).collect()(0)
+    assert(!d.getBoolean(6))
+    decoded.unpersist()
+  }
+}
