@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-committed, pre-touched heap: this sandbox is a Firecracker
+  // microVM where JVM heap grow/uncommit cycles cause page-fault storms
+  // (~80% system time, 10-30x CPU inflation at 32 threads). Fixed-size
+  // pre-touched heap makes throughput stable and ~15x faster.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

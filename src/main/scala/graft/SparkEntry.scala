@@ -115,8 +115,11 @@ object SparkEntry {
       graft.ops.Dedup.exact(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
     "dedup_jaccard" -> ((s, dir) =>
+      // df cap 64 = stop-shingle removal; bounds the inverted-index
+      // self-join fan-out (the oracle applies the identical cap)
       graft.ops.Dedup.trigramJaccardPairs(
-          t(s, dir, "documents").where(col("doc_id") < 2000), threshold = 0.8)
+          t(s, dir, "documents").where(col("doc_id") < 2000),
+          threshold = 0.8, maxDocFreq = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_minhash" -> ((s, dir) =>
@@ -224,11 +227,14 @@ object SparkEntry {
       """WITH arrs AS (
         |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
         |  FROM documents WHERE doc_id < 2000),
-        |toks AS (
+        |toks0 AS (
         |  SELECT id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(arr)-1, 1)),
         |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS tok
         |  FROM arrs),
+        |toks AS (
+        |  SELECT id, tok FROM toks0 WHERE tok IN (
+        |    SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 64)),
         |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
         |shared AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
