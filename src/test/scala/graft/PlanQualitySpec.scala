@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Catalyst plan-quality gates (the SURVEY.md §4 design rule: cheap
+  * predicates stay BEFORE opaque kernels so pushdown/pruning reach the
+  * parquet scan). These assertions fail if a refactor accidentally
+  * hides a filter behind a mapPartitions or widens a scan.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-quality-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val pagesPath: String = {
+    val dir = Files.createTempDirectory("plan-pages").toString
+    graft.table.SyntheticPages.generate(spark, 300, partitions = 4)
+      .toDF().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("lang filter pushes down to the parquet scan") {
+    val plan = spark.read.parquet(pagesPath)
+      .where(col("lang") === "en")
+      .select("url", "html")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
+  }
+
+  test("extraction scan prunes to url+html even with filters upstream") {
+    val pages = spark.read.parquet(pagesPath).where(col("lang") === "en")
+    val plan = graft.extract.Extract.extractPages(pages)
+      .queryExecution.executedPlan.toString
+    // ReadSchema must not include warc_ts/text — only what the kernel uses
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("html"), readSchema)
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("text"), readSchema)
+  }
+
+  test("q1-style agg keeps partial aggregation (map-side combine)") {
+    val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair around a single Exchange
+    assert(plan.contains("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("join_enrich broadcasts the dimension side") {
+    val plan = SparkEntry.queries("join_enrich")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("anti_join plans as a broadcast/shuffled anti join, not a cartesian") {
+    val plan = SparkEntry.queries("anti_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vector scoring stays inside WholeStageCodegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.1f)
+    val df = emb.withColumn("score",
+      graft.functions.VectorExpr.cosineSim(col("embedding"), typedLit(q.toSeq)))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    // and the codegen'd expression evaluates correctly vs a manual dot
+    val row = df.orderBy("vec_id").select("embedding", "score").collect()(0)
+    val e = row.getSeq[Float](0).toArray
+    val dot = e.map(_.toDouble * 0.1).sum
+    val n1 = math.sqrt(e.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(64 * 0.01)
+    assert(math.abs(row.getDouble(1) - dot / (n1 * n2)) < 1e-9)
+  }
+}

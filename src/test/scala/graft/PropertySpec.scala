@@ -1,0 +1,112 @@
+package graft
+
+import graft.extract.{CascadeConfig, CascadeExtractor}
+import graft.html.HtmlParser
+import graft.text.{ChunkConfig, Chunker, PyText}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property/fuzz laws: tokenizer robustness on Common-Crawl-grade
+  * malformed input (SURVEY.md §7.4 hard part 3), chunker coverage/
+  * bound laws (tests/unit/test_rag/test_chunking.py invariants),
+  * normalize idempotence, codec totality.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val htmlChunk: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(20)),
+    Gen.oneOf("<", ">", "</", "/>", "<!--", "-->", "&", "&amp;", "&#x", ";",
+      "\"", "'", "=", "<div", "<p>", "</p>", "</div>", "<script>", "</script>",
+      "<style>", "<a href=", "<img src=x", "<!doctype html>", "<![CDATA[",
+      "<table><tr><td>", " ", "�", "中文", "é", "\n", "\t", " "),
+    Gen.listOf(Gen.choose(' ', '~')).map(_.mkString))
+
+  private val fuzzHtml: Gen[String] =
+    Gen.listOf(htmlChunk).map(_.mkString).map(_.take(4000))
+
+  property("tokenizer total; arena parents precede children") =
+    forAll(fuzzHtml) { html =>
+      val dom = new HtmlParser().parse(html)
+      var ok = dom.size >= 1
+      var n = 1
+      while (ok && n < dom.size) {
+        ok = dom.parent(n) >= 0 && dom.parent(n) < n
+        n += 1
+      }
+      ok
+    }
+
+  property("cascade total on arbitrary bytes; errors are data") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { bytes =>
+      val e = new CascadeExtractor().extract("https://x.example/f", bytes, CascadeConfig())
+      e.succeeded || e.failure_reason != null
+    }
+
+  property("normalizeWhitespace idempotent, single ASCII spaces, trimmed") =
+    forAll(Gen.asciiPrintableStr, Gen.oneOf("\t", "\n", " ", " ", "  ")) { (s, ws) =>
+      val t = PyText.normalizeWhitespace(s + ws + s)
+      PyText.normalizeWhitespace(t) == t &&
+      !t.exists(c => PyText.isPySpace(c) && c != ' ') &&
+      !t.contains("  ") &&
+      (t.isEmpty || (!PyText.isPySpace(t.head) && !PyText.isPySpace(t.last)))
+    }
+
+  private val sentenceGen: Gen[String] = Gen.chooseNum(3, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "words"))
+      .map(_.mkString(" ") + ". "))
+  private val textGen: Gen[String] = Gen.chooseNum(1, 40).flatMap(n =>
+    Gen.listOfN(n, sentenceGen).map(_.mkString))
+
+  property("chunker laws: ids sequential, min respected, spans valid+ordered") =
+    forAll(textGen, Gen.oneOf(true, false)) { (t, sentMode) =>
+      val cfg = ChunkConfig(chunkSize = 100, overlap = 20, minChunkSize = 10,
+        preserveSentences = sentMode)
+      val chunks = Chunker.chunk(t, cfg)
+      // sentence-mode spans index the stripped text; char-mode spans
+      // index the raw text (the reference's single-chunk identity path
+      // returns the unstripped input)
+      val bound = if (sentMode) PyText.strip(t).length else t.length
+      val idsOk = chunks.map(_.chunk_id).toSeq == chunks.indices.toSeq
+      val minOk = chunks.forall(c =>
+        PyText.strip(c.text).length >= cfg.minChunkSize ||
+        (!sentMode && t.length <= cfg.chunkSize))
+      val spansOk = chunks.forall(c =>
+        c.start >= 0 && c.end <= bound && c.start < c.end)
+      val orderedOk = chunks.sliding(2).forall {
+        case Array(a, b) => b.start >= a.start
+        case _ => true
+      }
+      idsOk && minOk && spansOk && orderedOk
+    }
+
+  property("chunker sentence coverage: <10% of sentences dropped") =
+    forAll(textGen) { t =>
+      val chunks = Chunker.chunk(t, ChunkConfig(100, 20, 10, preserveSentences = true))
+      if (chunks.isEmpty) Prop.passed
+      else {
+        val joined = chunks.map(_.text).mkString(" ")
+        val sentences = PyText.splitSentences(t)
+        val missing = sentences.count(s => !joined.contains(s))
+        Prop(missing * 10 <= sentences.length) :| s"missing=$missing/${sentences.length}"
+      }
+    }
+
+  property("hash embedder: unit norm or zero, never NaN") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val v = new graft.rag.DeterministicHashEmbedder(64).embedOne(s)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.length == 64 && !v.exists(_.isNaN) && (math.abs(n - 1.0) < 1e-4 || n == 0.0)
+    }
+
+  property("PageCodec.decode total on arbitrary bytes") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { bytes =>
+      graft.extract.PageCodec.decode(bytes) != null
+    }
+
+  property("winnow deterministic and bounded") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val a = graft.ops.TextAnalysis.winnow(s)
+      val b = graft.ops.TextAnalysis.winnow(s)
+      a.toSeq == b.toSeq && a.length <= math.max(1, s.length)
+    }
+}
