@@ -246,9 +246,13 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val toks = docs
       .select(col("doc_id").cast("long").as("id"), explode(grams).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df filter as a window count: one shuffle on tok whose partitioning
+    // the self-join then reuses (no re-exchange on either side)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val filtered = toks
+      .withColumn("df", count(lit(1)).over(w))
       .where(col("df") <= maxDocFreq)
-    val filtered = toks.join(freq.select("tok"), "tok")
+      .select("id", "tok")
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     val shared = filtered.as("a").join(filtered.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
