@@ -84,6 +84,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "stream_events" -> ((s, dir) =>
+      // Structured Streaming ingest (readStream → watermark → windowed
+      // agg → memory sink); complete-mode result equals the batch
+      // GROUP BY, which is the oracle
+      graft.streaming.StreamingOps
+        .windowedEventCounts(s, s"$dir/events.parquet", "se_stream_events")
+        .select(to_date(col("day")).as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("day"), col("event_type"))),
+
     // ---------------- extraction tier (north rule) ----------------
     "cascade_extract" -> ((s, dir) => {
       val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
@@ -217,6 +227,11 @@ object SparkEntry {
         |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "stream_events" ->
+      """SELECT date_trunc('day', ts)::DATE AS day, event_type,
+        |count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash,
