@@ -180,9 +180,27 @@ object SparkEntry {
         .select(col("id"), col("score"))
     }),
 
+    "semi_join" -> ((s, dir) =>
+      // customers having orders (left semi — EXISTS)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
     // ---------------- text analysis ----------------
     "text_analysis" -> ((s, dir) =>
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "text_normalize" -> ((s, dir) =>
+      // the reference's normalize_whitespace processor over extraction
+      // output shape (processors/base.py:41-61) — Python \s semantics
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("content"))
+        .transform(d => graft.jobs.Pipeline.registry("normalize_whitespace")(d))
+        .select(col("doc_id"), col("content"),
+          col("char_count").cast("long").as("char_count"),
+          col("meets_threshold"))
         .orderBy(col("doc_id"))),
 
     // ---------------- multimodal plumbing ----------------
@@ -227,6 +245,22 @@ object SparkEntry {
         |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "text_normalize" -> {
+      // Python-\s class in RE2 syntax (the Spark side uses the Java form)
+      val ws = """[\t-\r\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"""
+      s"""WITH n AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '^$ws+|$ws+$$', '', 'g'), '$ws+', ' ', 'g') AS content
+         |FROM documents)
+         |SELECT doc_id, content, length(content) AS char_count,
+         |  length(content) >= 0 AS meets_threshold
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
 
     "stream_events" ->
       """SELECT date_trunc('day', ts)::DATE AS day, event_type,
