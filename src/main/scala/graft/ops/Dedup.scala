@@ -271,8 +271,8 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_bp")
   }
 
-  /** Embedding-cosine near-dup pairs (brute force; the LSH-bucketed
-    * scale path is Similarity.lshCandidates → verify).
+  /** Embedding-cosine near-dup pairs (brute force — the small-N /
+    * oracle path; the scale path is Similarity.lshNearDupPairs).
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     import graft.rag.VectorFunctions.cosine

@@ -66,6 +66,55 @@ object Similarity {
       .toDF("vec_id", "embedding", "bucket")
   }
 
+  /** Multi-table signature for near-dup pair mining: `tables`
+    * independent `bits`-bit signatures (different hyperplane sets per
+    * table). Two vectors with cosine c collide in one table with
+    * probability (1 - acos(c)/pi)^bits; tables multiply the recall.
+    */
+  private[ops] def tableSignatures(vec: Array[Float], bits: Int, tables: Int): Array[Int] =
+    Array.tabulate(tables) { t =>
+      var sig = 0
+      var p = 0
+      while (p < bits) {
+        val plane = hyperplane(t * bits + p + 1000, vec.length)
+        var dot = 0.0
+        var j = 0
+        while (j < vec.length) { dot += vec(j).toDouble * plane(j); j += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+
+  /** Embedding near-duplicate pairs at scale: multi-table LSH buckets →
+    * candidate pairs → exact cosine verify. Shuffles only
+    * (table, bucket, id) triples; the brute-force cross join
+    * (Dedup.cosineNearDupPairs) is the small-N / oracle path.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sigs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, tableSignatures(v, bits, tables))
+      })
+      .toDF("vec_id", "embedding", "sigs")
+    val buckets = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(col("sigs")).as(Seq("table", "bucket")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.VectorExpr
+          .cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+      .distinct()
+      .where(col("c") >= threshold)
+      .withColumn("cos_bp", floor(col("c") * 10000).cast("long"))
+      .select("id_a", "id_b", "cos_bp")
+  }
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` bit flips, exact-rescore candidates, take k.
     */

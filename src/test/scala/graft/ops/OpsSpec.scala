@@ -60,6 +60,23 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.contains(1L))
   }
 
+  test("LSH near-dup pairs: high recall on planted near-duplicates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    // plant near-duplicates: copy of each vector with one component nudged
+    val planted = emb.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(planted)
+    val pairs = Similarity.lshNearDupPairs(all, threshold = 0.98)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 100L).map(i => (i, i + 100000)).toSet
+    val recall = (pairs & expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"recall=$recall found=${pairs.size}")
+  }
+
   test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = "the quick brown fox jumps over the lazy dog and runs away fast"
     val t2 = "PREFIX then " + t1 + " plus a suffix"
