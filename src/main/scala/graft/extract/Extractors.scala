@@ -130,7 +130,7 @@ object Extractors {
     val c = dom.attr(n, "class")
     val id = dom.attr(n, "id")
     if (c == null && id == null) ""
-    else ((if (c == null) "" else c) + " " + (if (id == null) "" else id)).toLowerCase
+    else ((if (c == null) "" else c) + " " + (if (id == null) "" else id)).toLowerCase(java.util.Locale.ROOT)
   }
 
   private def classWeight(dom: Dom, n: Int): Double = {

@@ -43,7 +43,7 @@ object PageCodec {
   /** Scan the ASCII-compatible prefix for a meta charset declaration. */
   private[extract] def sniffMetaCharset(bytes: Array[Byte]): Option[Charset] = {
     val n = math.min(bytes.length, sniffLimit)
-    val prefix = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val prefix = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
     val key = "charset"
     var i = prefix.indexOf(key)
     while (i >= 0) {

@@ -80,7 +80,7 @@ object Entities {
     while (i < namesU.length) {
       if (namesU(i) != "_") {
         ps(namesU(i), gkU.charAt(i).toString)
-        ps(namesU(i).toLowerCase, (gkU.charAt(i) + 32).toChar.toString)
+        ps(namesU(i).toLowerCase(java.util.Locale.ROOT), (gkU.charAt(i) + 32).toChar.toString)
       }
       i += 1
     }

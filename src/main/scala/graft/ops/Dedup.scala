@@ -53,7 +53,7 @@ object Dedup {
       while (i < n && graft.text.PyText.isPySpace(text.charAt(i))) i += 1
       val s = i
       while (i < n && !graft.text.PyText.isPySpace(text.charAt(i))) i += 1
-      if (i > s) out += text.substring(s, i).toLowerCase
+      if (i > s) out += text.substring(s, i).toLowerCase(java.util.Locale.ROOT)
     }
     out.toArray
   }

@@ -96,6 +96,18 @@ object Rag {
     if (parityPostKFilter) applyFilters(cut) else cut
   }
 
+  /** add_documents upsert semantics (file_store.py:46-80): rows whose
+    * embedding dimension mismatches are skipped (the reference logs a
+    * warning and continues); an incoming id replaces the existing row.
+    * The caller commits the result (atomicity = IcebergLite publish,
+    * mirroring the reference's tmp+rename save).
+    */
+  def upsertDocuments(existing: DataFrame, incoming: DataFrame, dim: Int): DataFrame = {
+    val valid = incoming.where(size(col("embedding")) === dim)
+    existing.join(valid.select("id"), Seq("id"), "left_anti")
+      .unionByName(valid)
+  }
+
   /** get_document by id (file_store.py:129-131). */
   def getDocument(index: DataFrame, id: String): DataFrame =
     index.where(col("id") === lit(id))

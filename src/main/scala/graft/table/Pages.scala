@@ -72,7 +72,7 @@ object SyntheticPages {
     var i = 0
     while (i < n) {
       var w = words(rng.nextInt(words.length))
-      if (i == 0) w = w.substring(0, 1).toUpperCase + w.substring(1)
+      if (i == 0) w = w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + w.substring(1)
       sb.append(w)
       if (i < n - 1) {
         if (rng.nextInt(8) == 0) sb.append(',')

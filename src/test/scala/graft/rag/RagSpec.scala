@@ -107,6 +107,27 @@ class RagSpec extends AnyFunSuite {
     assert(idx.forall(_.embedding.length == 384))
   }
 
+  test("upsert: dim-mismatched rows skipped, incoming id replaces existing") {
+    val incoming = Seq(
+      IndexDoc("d1", "updated one", Array(9f, 0f, 0f), "u1", 0, null),
+      IndexDoc("d9", "brand new", Array(0f, 9f, 0f), "u9", 0, null),
+      IndexDoc("dX", "wrong dim", Array(1f), "uX", 0, null)
+    ).toDS().toDF()
+    val out = Rag.upsertDocuments(orthoIndex, incoming, dim = 3)
+    assert(out.count() == 5) // 4 existing - 1 replaced + 2 valid incoming
+    val d1 = out.where(col("id") === "d1").collect()(0)
+    assert(d1.getAs[String]("content") == "updated one")
+    assert(out.where(col("id") === "dX").count() == 0)
+  }
+
+  test("url normalization defaults the scheme like the reference CLI") {
+    val df = Seq("example.com/x", "  https://a.b/c ", "//host/p", "ftp://f/x")
+      .toDF("u")
+      .select(graft.text.TextFunctions.normalizeUrl(col("u")).as("n"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "https://example.com/x", "https://a.b/c", "https://host/p", "ftp://f/x"))
+  }
+
   test("formatResults reproduces the reference envelope") {
     val s = Rag.formatResults(Seq(("alpha content", 0.91234), ("beta", 0.5)))
     assert(s == "[Result 1, Score: 0.912]\nalpha content\n\n---\n\n[Result 2, Score: 0.500]\nbeta")
