@@ -153,11 +153,6 @@ object Extractors {
              tag == T.H5 || tag == T.H6 || tag == T.Th) -5
     else 0
 
-  private def isSkippedText(dom: Dom, parentElem: Int): Boolean = {
-    val t = dom.tag(parentElem)
-    t == T.Script || t == T.Style || t == T.Template
-  }
-
   /** Emit stripped text nodes under `root` (filtered by `keep` on the
     * owning element chain) joined by `sep`; fills `spans`.
     */

@@ -271,6 +271,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_bp")
   }
 
+  /** Apply a near-dup pair set to the corpus: greedy canonicalization
+    * keeps every doc that never appears as the larger id of a pair
+    * (pairs carry id_a < id_b). One anti-join — no iterative connected
+    * components; for transitive clusters this may drop a doc whose
+    * direct canonical was itself dropped, which is the standard greedy
+    * trade-off for one-pass dedup at scale.
+    */
+  def applyPairDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Embedding-cosine near-dup pairs (brute force — the small-N /
     * oracle path; the scale path is Similarity.lshNearDupPairs).
     */

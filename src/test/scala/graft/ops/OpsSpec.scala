@@ -60,6 +60,18 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.contains(1L))
   }
 
+  test("applyPairDedup removes the non-canonical side of every pair") {
+    val pairs = Dedup.trigramJaccardPairs(docs, 0.8)
+    val kept = Dedup.applyPairDedup(docs, pairs)
+    val dropped = pairs.select("id_b").distinct().count()
+    assert(kept.count() == docs.count() - dropped)
+    // no surviving pair among kept docs
+    val keptPairs = Dedup.trigramJaccardPairs(kept, 0.8)
+    // greedy: only pairs whose both endpoints survived can remain; with
+    // planted pairwise dups (no transitive chains) none should
+    assert(keptPairs.count() == 0)
+  }
+
   test("LSH near-dup pairs: high recall on planted near-duplicates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
