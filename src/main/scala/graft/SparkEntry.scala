@@ -84,6 +84,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "events_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity): lag → boundary →
+      // running-sum session ids → per-session rollup
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > 30L * 60 * 1000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(runSum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "stream_events" -> ((s, dir) =>
       // Structured Streaming ingest (readStream → watermark → windowed
       // agg → memory sink); complete-mode result equals the batch
@@ -261,6 +281,22 @@ object SparkEntry {
          |  length(content) >= 0 AS meets_threshold
          |FROM n ORDER BY doc_id""".stripMargin
     },
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_events" ->
       """SELECT date_trunc('day', ts)::DATE AS day, event_type,

@@ -15,7 +15,7 @@ import java.security.MessageDigest
   * change: `sbt "Test/runMain graft.GoldenGen"`.
   */
 object GoldenGen {
-  val CorpusSize = 500
+  val CorpusSize = 2000
   val Seed = 42L
   /** representative ids, one per family (computed in main). */
 
