@@ -33,6 +33,16 @@ object SparkEntry {
       .select("embedding").collect()(0)
       .getSeq[Float](0).toArray
 
+  /** Committed golden-parquet dir: expected outputs for operators whose
+    * semantics DuckDB cannot recompute (extraction cascade, chunker)
+    * plus the real-format media corpus. The operator goldens are frozen
+    * outputs of the spec'd kernels at sf0.01 (regenerated only on a
+    * deliberate semantics change via GoldenGen, like the byte goldens);
+    * the media parquet carries generation-time truth columns the decode
+    * kernel must re-derive from the payload BYTES.
+    */
+  val goldenDir = "/root/repo/src/test/resources/golden"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational coverage (SURVEY.md §2.6) ----------------
     "q1_agg" -> ((s, dir) =>
@@ -126,17 +136,21 @@ object SparkEntry {
     }),
 
     "chunk_documents" -> ((s, dir) => {
-      // sentence-preserving chunker (bit-parity with the reference,
-      // see ChunkerSpec) over the documents table
+      // sentence-preserving chunker (bit-parity with the reference, see
+      // ChunkerSpec) + the reference's full per-chunk metadata
+      // projection (chunking.py:50-58); oracled against the committed
+      // golden chunk table at sf0.01
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
-          graft.text.Chunker.chunk(text,
+          graft.text.Chunker.chunkWithMeta(text,
             graft.text.ChunkConfig(chunkSize = 200, overlap = 30, minChunkSize = 20))
-            .map(c => (id, c.chunk_id, c.text, c.start, c.end))
+            .map(c => (id, c.chunk_id, c.text, c.start, c.end,
+              c.chunk_size, c.total_chunks, c.overlap_size))
         }
-        .toDF("doc_id", "chunk_id", "chunk_text", "start", "end")
+        .toDF("doc_id", "chunk_id", "chunk_text", "chunk_start", "chunk_end",
+          "chunk_size", "total_chunks", "overlap_size")
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
@@ -153,9 +167,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_minhash" -> ((s, dir) =>
+      // 32 bands x 2 rows: P(miss a j=0.8 pair) = (1-0.8^2)^32 ~ 6e-15,
+      // so LSH recall is exhaustive at the oracle threshold and the
+      // exact-jaccard verify makes the result equal the full pair set —
+      // DuckDB-oracled against exact trigram-set jaccard (no df cap)
       graft.ops.Dedup.minhashLshPairs(
           t(s, dir, "documents").where(col("doc_id") < 2000),
-          threshold = 0.8, shingleSize = 3)
+          threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -184,20 +202,23 @@ object SparkEntry {
     }),
 
     "rag_topk" -> ((s, dir) => {
-      import s.implicits._
-      val chunks = t(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          graft.text.Chunker.chunk(text,
-            graft.text.ChunkConfig(chunkSize = 200, overlap = 30, minChunkSize = 20))
-            .map(c => (s"doc://$id", c.chunk_id, c.text))
-        }
-        .toDF("url", "chunk_index", "chunk_text")
-      val index = graft.rag.Rag.buildIndex(chunks).toDF()
-      val embedder = new graft.rag.DeterministicHashEmbedder()
-      graft.rag.Rag.search(index,
-          embedder.embedOne("spark query table row filter"), topK = 10)
-        .select(col("id"), col("score"))
+      // the flagship retrieval path (Rag.search, file_store.py:82-127):
+      // threshold, total-order tiebreak, and the reference's post-k
+      // metadata-filter quirk (filters applied AFTER the k-cut,
+      // :104-121) — all DuckDB-oracled. Index = documents joined to the
+      // provided embeddings (no hash embedder in the oracle path).
+      val index = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .select(format_string("doc_%05d", col("vec_id")).as("id"),
+          col("text").as("content"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label").cast("string").as("label"))
+      graft.rag.Rag.search(index, anchorVec(s, dir), topK = 10,
+          threshold = 0.0, filters = Map("label" -> "2"),
+          parityPostKFilter = true)
+        .select(col("id"),
+          floor(col("score") * 10000).cast("long").as("score_bp"), col("label"))
+        .orderBy(col("id"))
     }),
 
     "semi_join" -> ((s, dir) =>
@@ -206,6 +227,30 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))),
+
+    "multiway_join" -> ((s, dir) =>
+      // 4-table star join with grouped rollup: the fact side shuffles
+      // once (orders⋈customer on custkey); nation (25 rows) and region
+      // (5 rows) are broadcast so the geography lookups add no exchange
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          floor(avg(col("c_acctbal")) * 10000).cast("long").as("acctbal_bp"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    "events_json" -> ((s, dir) =>
+      // JSON functions over the props column (string JSON payloads):
+      // extract → cast → grouped integer stats (no float rounding risk)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
 
     // ---------------- text analysis ----------------
     "text_analysis" -> ((s, dir) =>
@@ -223,13 +268,17 @@ object SparkEntry {
           col("meets_threshold"))
         .orderBy(col("doc_id"))),
 
-    // ---------------- multimodal plumbing ----------------
+    // ---------------- multimodal ----------------
     "multimodal_decode" -> ((s, dir) => {
-      import s.implicits._
-      val media = s.range(0, pagesFor(dir) / 2, 1, 8)
-        .map(id => (id, graft.ops.Multimodal.fakeMedia(id)))
-        .toDF("id", "payload")
+      // committed real-format media corpus (tiny but structurally valid
+      // PNG/GIF/JPEG payloads): the kernel derives dimensions/channels
+      // from the BYTES; the oracle reads the generation-time truth
+      // columns of the same parquet — a genuine dual-derivation check
+      val media = s.read.parquet(s"$goldenDir/media.parquet")
+        .select(col("id"), col("payload"))
       graft.ops.Multimodal.resizeStub(graft.ops.Multimodal.decode(media))
+        .select(col("id"), col("kind"), col("width"), col("height"),
+          col("channels"), col("valid"), col("out_width"), col("out_height"))
         .orderBy(col("id"))
     })
   )
@@ -270,6 +319,83 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "multiway_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue,
+        |floor(avg(c_acctbal) * 10000)::BIGINT AS acctbal_bp
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rag_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT printf('doc_%05d', vec_id) AS id,
+        |    list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM q)) AS score,
+        |    label::VARCHAR AS label
+        |  FROM embeddings),
+        |topk AS (
+        |  SELECT * FROM scored WHERE score >= 0.0
+        |  ORDER BY score DESC, id LIMIT 10)
+        |SELECT id, floor(score * 10000)::BIGINT AS score_bp, label
+        |FROM topk WHERE label = '2' ORDER BY id""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH arrs AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents WHERE doc_id < 2000),
+        |toks AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
+        |    list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+        |    ELSE [array_to_string(arr, ' ')] END)) AS tok
+        |  FROM arrs),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |shared AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
+        |FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // golden-parquet oracles: frozen expected outputs of the spec'd
+    // kernels at sf0.01 (the kernels themselves are additionally pinned
+    // byte-for-byte by the sbt golden/parity suites; these rows give the
+    // driver a hash-checkable regression gate)
+    "chunk_documents" ->
+      ("SELECT doc_id, chunk_id, chunk_text, chunk_start, chunk_end, " +
+        "chunk_size, total_chunks, overlap_size " +
+        s"FROM read_parquet('$goldenDir/chunks_sf001.parquet') " +
+        "ORDER BY doc_id, chunk_id"),
+
+    "cascade_extract" ->
+      ("SELECT url, strategy_used, succeeded, partial, text_len, title, failure_reason " +
+        s"FROM read_parquet('$goldenDir/cascade_sf001.parquet') " +
+        "ORDER BY url"),
+
+    "multimodal_decode" ->
+      s"""WITH m AS (SELECT * FROM read_parquet('$goldenDir/media.parquet')),
+        |r AS (SELECT id, true_kind AS kind, true_width AS width,
+        |  true_height AS height, true_channels AS channels, true AS valid,
+        |  CASE WHEN greatest(true_width, true_height) <= 256 THEN 1.0
+        |       ELSE 256.0 / greatest(true_width, true_height) END AS scale
+        |FROM m)
+        |SELECT id, kind, width, height, channels, valid,
+        |  floor(width * scale)::INT AS out_width,
+        |  floor(height * scale)::INT AS out_height
+        |FROM r ORDER BY id""".stripMargin,
 
     "text_normalize" -> {
       // Python-\s class in RE2 syntax (the Spark side uses the Java form)
@@ -344,6 +470,24 @@ object SparkEntry {
       """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) * 10000)::BIGINT AS score_bp
         |FROM embeddings ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_lsh" -> {
+      // the exact 8-bit random-hyperplane signature + hamming<=2 probe
+      // set, recomputed in SQL with the kernel's own plane constants
+      // inlined (Similarity.hyperplane is deterministic)
+      val bits = 8
+      val sigExpr = (0 until bits).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${graft.ops.Similarity.hyperplaneSqlLiteral(p, 64)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+         |q AS (SELECT bucket AS qb, v AS qv FROM sig WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  floor(list_cosine_similarity(v, (SELECT qv FROM q)) * 10000)::BIGINT AS score_bp
+         |FROM sig
+         |WHERE bit_count(xor(bucket::BIGINT, (SELECT qb FROM q)::BIGINT)) <= 2
+         |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "text_analysis" ->
       ("""WITH base AS (SELECT doc_id, text, trim(text) AS t FROM documents),

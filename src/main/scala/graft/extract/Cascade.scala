@@ -23,7 +23,8 @@ final case class Extracted(
     title: String,
     author: String,
     publish_date: java.sql.Timestamp,
-    warnings: Seq[String])
+    warnings: Seq[String],
+    extras: Map[String, String] = Map.empty)
 
 /** Cascade configuration — mirrors the reference defaults:
   * strategy order newspaper → readability → http
@@ -58,17 +59,21 @@ final case class CascadeConfig(
 final class CascadeExtractor {
   private val parser = new HtmlParser
   private val stats = new DomStats
+  private var extras: Map[String, String] = Map.empty
 
-  def extract(url: String, html: Array[Byte], cfg: CascadeConfig): Extracted =
+  def extract(url: String, html: Array[Byte], cfg: CascadeConfig,
+      sourceExtras: Map[String, String] = Map.empty): Extracted = {
+    extras = sourceExtras // passthrough metadata spill (SURVEY.md §1.2)
     try extractUnsafe(url, html, cfg)
     catch {
       case e: Throwable =>
         fail(url, s"extractor_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+  }
 
   private def fail(url: String, reason: String): Extracted =
     Extracted(url, null, Nil, null, succeeded = false, reason,
-      partial = false, null, null, null, Nil)
+      partial = false, null, null, null, Nil, extras)
 
   private def extractUnsafe(url: String, html: Array[Byte], cfg: CascadeConfig): Extracted = {
     if (html == null || html.length == 0) return fail(url, "no_html_or_url")
@@ -88,17 +93,11 @@ final class CascadeExtractor {
     val it = cfg.strategies.iterator
     while (it.hasNext) {
       val name = it.next()
-      val supported = name match {
-        case "newspaper" => url != null && url.nonEmpty
-        case "readability" | "http" => true
-        case _ => false // unknown names silently skipped (extractors/__init__.py:21-37)
-      }
+      // unknown names silently skipped (extractors/__init__.py:21-37)
+      val strategy = CascadeExtractor.registry.get(name)
+      val supported = strategy.exists(_.supports(url))
       if (supported) {
-        val r = name match {
-          case "newspaper" => Extractors.newspaperLike(dom, stats)
-          case "readability" => Extractors.readability(dom, stats)
-          case "http" => Extractors.bs4Strip(dom, stats)
-        }
+        val r = strategy.get.run(dom, stats)
         if (!r.succeeded) {
           failureReason =
             if (r.reason != null) r.reason else s"$name reported failure"
@@ -135,10 +134,28 @@ final class CascadeExtractor {
     Extracted(url, r.content,
       r.spans.map { case (s, e, k) => Span(s, e, k) }.toSeq,
       name, succeeded = true, null, partial,
-      r.title, r.author, r.publishDate, warnings)
+      r.title, r.author, r.publishDate, warnings, extras)
 }
 
 object CascadeExtractor {
+  /** One registered strategy: a supports() gate over the url (the only
+    * context the reference gates on pre-parse) plus the DOM kernel.
+    */
+  final case class Strategy(
+      supports: String => Boolean,
+      run: (graft.html.Dom, DomStats) => StratResult)
+
+  /** Strategy registry (the reference's EXTRACTOR_REGISTRY + supports
+    * gates, core/extractors/__init__.py:11-18; supports semantics per
+    * SURVEY.md §2.2 — the reference's readability `html` AttributeError
+    * quirk is not reproduced). Cascade order remains config-driven
+    * (CascadeConfig.strategies / ScragConfig "pipeline.extractors").
+    */
+  val registry: Map[String, Strategy] = Map(
+    "newspaper" -> Strategy(url => url != null && url.nonEmpty, Extractors.newspaperLike),
+    "readability" -> Strategy(_ => true, Extractors.readability),
+    "http" -> Strategy(_ => true, Extractors.bs4Strip))
+
   private val pool = new ThreadLocal[CascadeExtractor] {
     override def initialValue(): CascadeExtractor = new CascadeExtractor
   }
@@ -153,16 +170,40 @@ object Extract {
     * Cheap Catalyst predicates (html IS NOT NULL etc.) should be applied
     * by the caller BEFORE this opaque kernel so parquet pushdown still
     * fires (SURVEY.md §4).
+    *
+    *  - `strategyHist`: per-strategy row counts collected inside the
+    *    kernel itself during whatever action the caller runs — no extra
+    *    pass, no per-row serde detour (an earlier map-over-Row layer
+    *    cost one full row-codec pass on the north-star hot path).
+    *  - An `extras: map<string,string>` input column (source metadata
+    *    spill, SURVEY.md §1.2) is carried through to the output; absent
+    *    column → empty map, with the two-column hot path untouched.
     */
   def extractPages(pages: DataFrame,
-      cfg: CascadeConfig = CascadeConfig()): Dataset[Extracted] = {
+      cfg: CascadeConfig = CascadeConfig(),
+      strategyHist: Option[graft.util.MapAccumulator] = None): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select(col("url"), col("html"))
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        val ex = CascadeExtractor.pooled()
-        it.map { case (u, h) => ex.extract(u, h, cfg) }
-      }
+    def count(r: Extracted): Extracted = {
+      strategyHist.foreach(a =>
+        a.add(if (r.strategy_used == null) "FAILED" else r.strategy_used))
+      r
+    }
+    if (pages.columns.contains("extras"))
+      pages.select(col("url"), col("html"), col("extras"))
+        .as[(String, Array[Byte], Map[String, String])]
+        .mapPartitions { it =>
+          val ex = CascadeExtractor.pooled()
+          it.map { case (u, h, xs) =>
+            count(ex.extract(u, h, cfg, if (xs == null) Map.empty else xs))
+          }
+        }
+    else
+      pages.select(col("url"), col("html"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          val ex = CascadeExtractor.pooled()
+          it.map { case (u, h) => count(ex.extract(u, h, cfg)) }
+        }
   }
 }

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   graft.jobs.Cli info
   *   graft.jobs.Cli extract   <pagesParquet|synth:N> <outTable> [--min-length N] [--units N]
+  *   graft.jobs.Cli embed     <textFile|chunksParquet> <outParquet> [--chunk-size N] [--chunk-overlap N]
+  *   graft.jobs.Cli index     <embeddingsParquet> <indexTable> [--dim N]
   *   graft.jobs.Cli build_rag <pagesParquet|synth:N> <indexTable>
   *   graft.jobs.Cli query     <indexTable> <text...> [--top-k N]
   *   graft.jobs.Cli test_pipeline <workDir>
@@ -60,16 +62,82 @@ object Cli {
         val units = opt(args, "--units").map(_.toInt).getOrElse(8)
         val cfg = ExtractJobConfig(nUnits = units, partitionsPerUnit = cpus.toInt,
           cascade = CascadeConfig(minContentLength = minLen))
-        // units = row-id ranges over the staged input
-        val withUnit = pages.withColumn("unit",
-          pmod(xxhash64(col("url")), lit(units)).cast("int"))
-        withUnit.cache()
+        // Stage the input ONCE, hive-partitioned by unit, so each unit's
+        // run reads only its own files (partition pruning on the path) —
+        // never cache() a table whose design point is 100 TB of html.
+        // At real scale the source table is already unit-partitioned and
+        // this step disappears.
+        val staged = s"${args(2)}/_staged_pages"
+        pages.withColumn("unit",
+            pmod(xxhash64(col("url")), lit(units)).cast("int"))
+          .write.mode("overwrite").partitionBy("unit").parquet(staged)
         val ran = ExtractJob.runUnits(spark,
-          u => withUnit.where(col("unit") === u), out, cfg)
+          u => spark.read.parquet(s"$staged/unit=$u"), out, cfg)
         val rows = out.read(spark).count()
         val okRows = out.read(spark).where(col("succeeded")).count()
         println(s"extract: units_run=${ran.size} rows=$rows succeeded=$okRows " +
           s"failed=${rows - okRows}")
+        spark.stop()
+
+      case "embed" =>
+        // reference `scrag embed` (core/cli/app.py:131-215): text file →
+        // chunk → embed → embeddings artifact; or pre-chunked input
+        // (a parquet with chunk_text) → embed only.
+        val spark = session(cpus)
+        import spark.implicits._
+        val in = args(1)
+        val outPath = args(2)
+        val chunkSize = opt(args, "--chunk-size").map(_.toInt).getOrElse(512)
+        val overlap = opt(args, "--chunk-overlap").map(_.toInt).getOrElse(50)
+        val chunks: org.apache.spark.sql.DataFrame =
+          if (in.endsWith(".parquet") || new java.io.File(in).isDirectory) {
+            val df = spark.read.parquet(in) // pre-chunked path
+            if (df.columns.contains("chunk_index")) df
+            else df.withColumn("chunk_index",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("chunk_text"))).cast("int") - 1)
+          } else {
+            val content = new String(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(in)), "UTF-8")
+            val cs = graft.text.Chunker.chunk(content,
+              graft.text.ChunkConfig(chunkSize = chunkSize, overlap = overlap))
+            spark.createDataset(cs.toSeq.map(c => (c.chunk_id, c.text)))
+              .toDF("chunk_index", "chunk_text")
+          }
+        val embedder = new graft.rag.DeterministicHashEmbedder()
+        val embedded = chunks.select(col("chunk_index").cast("int"), col("chunk_text"))
+          .as[(Int, String)]
+          .mapPartitions { it =>
+            it.grouped(100).flatMap { batch => // reference batching (100)
+              batch.iterator.zip(embedder.embedBatch(batch.map(_._2)).iterator)
+                .map { case ((ci, text), v) => (ci, text, v) }
+            }
+          }
+          .toDF("chunk_index", "chunk_text", "embedding")
+        embedded.write.mode("overwrite").parquet(outPath)
+        val n = spark.read.parquet(outPath).count()
+        println(s"embed: chunks=$n dimension=${embedder.dim} saved_to=$outPath")
+        spark.stop()
+
+      case "index" =>
+        // reference `scrag index` (core/cli/app.py:218-271): embeddings
+        // artifact → searchable index table, with the dim check.
+        val spark = session(cpus)
+        val emb = spark.read.parquet(args(1))
+        val dim = opt(args, "--dim").map(_.toInt).getOrElse(
+          new graft.rag.DeterministicHashEmbedder().dim)
+        val docs = emb
+          .withColumn("id", concat(lit("chunk_"), col("chunk_index")))
+          .withColumn("url", lit(null).cast("string"))
+          .withColumn("title", lit(null).cast("string"))
+          .select(col("id"), col("chunk_text").as("content"), col("embedding"),
+            col("url"), col("chunk_index").cast("int"), col("title"))
+        val valid = docs.where(size(col("embedding")) === dim)
+        val out = new IcebergLite(args(2))
+        out.writeData(valid, 0)
+        val n = out.readUnit(spark, 0).count()
+        out.publish(spark, 0, Map("rows" -> n.toString, "dim" -> dim.toString))
+        println(s"index: total_documents=$n dimension=$dim index_path=${args(2)}")
         spark.stop()
 
       case "build_rag" =>
@@ -110,5 +178,5 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.jobs.Cli <info|extract|build_rag|query|test_pipeline> [args]""".stripMargin
+    """usage: graft.jobs.Cli <info|extract|embed|index|build_rag|query|test_pipeline> [args]""".stripMargin
 }

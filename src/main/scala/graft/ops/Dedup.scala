@@ -244,14 +244,21 @@ object Dedup {
         i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1),
           element_at(arr, i + 2)))))
       .otherwise(array().cast("array<string>"))
+    // shuffle 8-byte hashed shingle keys, never the trigram strings;
+    // the inverted index and self-join carry (hash, id) pairs only
+    // (64-bit collisions are negligible vs the distinct-shingle count)
     val toks = docs
-      .select(col("doc_id").cast("long").as("id"), explode(grams).as("tok"))
-    // df filter as a window count: one shuffle on tok whose partitioning
-    // the self-join then reuses (no re-exchange on either side)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    val filtered = toks
-      .withColumn("df", count(lit(1)).over(w))
-      .where(col("df") <= maxDocFreq)
+      .select(col("doc_id").cast("long").as("id"), explode(grams).as("tok_s"))
+      .select(col("id"), xxhash64(col("tok_s")).as("tok"))
+    // stop-shingle (df > cap) removal: the hot set is tiny, so compute
+    // it with a hash partial-aggregate (map-side combine, no sort) and
+    // remove it with a broadcast left-anti join — vs a sort-based
+    // count-over-window this was the whole suite's worst plan (13.3 s
+    // of 26.9 s at sf0.1)
+    val hot = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select("tok")
+    val filtered = toks.join(broadcast(hot), Seq("tok"), "left_anti")
       .select("id", "tok")
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     val shared = filtered.as("a").join(filtered.as("b"),

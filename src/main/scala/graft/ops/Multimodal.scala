@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * BINARY columns with typed metadata structs; per-row media kernels
   * run in mapPartitions exactly like the HTML cascade.
   *
-  * The actual codec work is STUBBED (this container ships no image/
-  * audio libraries — see the builder contract): [[decodeMeta]] parses
-  * our deterministic fake header, and [[resizeStub]]/[[frameSampleStub]]
-  * transform metadata only. The Spark-side plumbing — schema, binary
-  * handling, partitioning, batch shape — is real and tested; swapping
-  * in a real decoder replaces only the marked kernel bodies.
+  * [[decodeMeta]] is a REAL pure-JVM header decoder for PNG, GIF and
+  * JPEG (signature sniff → format-specific dimension/channel parse; no
+  * codec jar needed for header metadata), with the deterministic GRFT
+  * fake format kept for the video/frame-sampling tests. Pixel-level
+  * work (full decode, resample) would need a codec library this
+  * container doesn't ship, so [[resizeStub]]/[[frameSampleStub]] remain
+  * metadata-only transforms with production-shaped plumbing.
   */
 object Multimodal {
 
@@ -42,20 +43,188 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB decoder kernel: parses the fake header. A real implementation
-    * would hand `bytes` to an image/audio codec here; everything around
-    * it (null handling, batching, schema) is production-shaped.
+  /** Header decoder kernel: sniffs the payload signature and parses
+    * real PNG / GIF / JPEG headers (pure JVM — dimensions and channel
+    * count need no codec), falling back to the GRFT fake format used by
+    * the video tests. Unknown/truncated payloads come back as
+    * `("unknown", valid=false)` rows — errors are data, never task
+    * exceptions, same convention as the HTML cascade.
     */
   def decodeMeta(bytes: Array[Byte]): MediaMeta = {
-    if (bytes == null || bytes.length < 18 ||
-        bytes(0) != 'G' || bytes(1) != 'R' || bytes(2) != 'F' || bytes(3) != 'T')
+    if (bytes == null || bytes.length < 6)
       return MediaMeta("unknown", 0, 0, 0, 0, valid = false)
+    try {
+      if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        decodePng(bytes)
+      else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+        decodeGif(bytes)
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        decodeJpeg(bytes)
+      else if (bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'F' && bytes(3) == 'T')
+        decodeGrft(bytes)
+      else MediaMeta("unknown", 0, 0, 0, 0, valid = false)
+    } catch {
+      case _: Exception => MediaMeta("unknown", 0, 0, 0, 0, valid = false)
+    }
+  }
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+    ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk — width/height are
+    * big-endian u32 at offsets 16/20; color type at 25 maps to the
+    * channel count (spec: gray=1, rgb=3, palette=1, gray+a=2, rgba=4).
+    */
+  private def decodePng(b: Array[Byte]): MediaMeta = {
+    if (b.length < 26 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return MediaMeta("image", 0, 0, 0, b.length, valid = false)
+    val w = beU32(b, 16)
+    val h = beU32(b, 20)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => 0
+    }
+    MediaMeta("image", w.toInt, h.toInt, channels, b.length,
+      valid = w > 0 && h > 0 && channels > 0)
+  }
+
+  /** GIF87a/89a: logical screen width/height are little-endian u16 at
+    * offsets 6/8; palette-indexed RGB → 3 channels.
+    */
+  private def decodeGif(b: Array[Byte]): MediaMeta = {
+    if (b.length < 13) return MediaMeta("image", 0, 0, 0, b.length, valid = false)
+    val w = leU16(b, 6)
+    val h = leU16(b, 8)
+    MediaMeta("image", w, h, 3, b.length, valid = w > 0 && h > 0)
+  }
+
+  /** JPEG: walk the marker segments from SOI until a start-of-frame
+    * (SOF0..SOF15 except the DHT/DAC markers C4/C8/CC); the frame
+    * header carries height/width as big-endian u16 and the component
+    * count (1=gray, 3=YCbCr).
+    */
+  private def decodeJpeg(b: Array[Byte]): MediaMeta = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return MediaMeta("image", 0, 0, 0, b.length, valid = false)
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) { // EOI / SOS: no frame seen
+        return MediaMeta("image", 0, 0, 0, b.length, valid = false)
+      } else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (i + 9 >= b.length) return MediaMeta("image", 0, 0, 0, b.length, valid = false)
+        val h = beU16(b, i + 5)
+        val w = beU16(b, i + 7)
+        val channels = b(i + 9) & 0xff
+        return MediaMeta("image", w, h, channels, b.length, valid = w > 0 && h > 0)
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers carry no length
+      } else {
+        i += 2 + beU16(b, i + 2)
+      }
+    }
+    MediaMeta("image", 0, 0, 0, b.length, valid = false)
+  }
+
+  /** The deterministic GRFT fake format (video/audio plumbing tests). */
+  private def decodeGrft(bytes: Array[Byte]): MediaMeta = {
+    if (bytes.length < 18) return MediaMeta("unknown", 0, 0, 0, 0, valid = false)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     bb.position(4)
     val kind = kinds(math.min(bb.get().toInt, 2))
     val w = bb.getInt; val h = bb.getInt
     val c = bb.get().toInt; val pl = bb.getInt
     MediaMeta(kind, w, h, c, pl, valid = bytes.length >= 18 + pl)
+  }
+
+  // ---- deterministic real-format encoders (golden/test data) ----
+
+  /** Minimal structurally-valid PNG: signature + IHDR (real CRC32) +
+    * IEND. colorType ∈ {0 gray, 2 rgb, 6 rgba}.
+    */
+  def makePng(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writePngChunk(out, "IHDR", ihdr)
+    writePngChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  private def writePngChunk(out: java.io.ByteArrayOutputStream,
+      typ: String, data: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    val body = typ.getBytes("US-ASCII") ++ data
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Minimal GIF89a: header + logical screen descriptor + trailer. */
+  def makeGif(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(width.toShort).putShort(height.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg, aspect
+    bb.put(0x3b.toByte) // trailer
+    bb.array()
+  }
+
+  /** Minimal JPEG: SOI + APP0(JFIF) + SOF0 frame header + EOI. */
+  def makeJpeg(width: Int, height: Int, components: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0 JFIF segment (so the scanner exercises segment skipping)
+    val app0 = Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    out.write(Array(0xff, 0xe0).map(_.toByte))
+    out.write(Array(((app0.length + 2) >> 8) & 0xff, (app0.length + 2) & 0xff).map(_.toByte))
+    out.write(app0)
+    // SOF0
+    val sofLen = 8 + 3 * components
+    out.write(Array(0xff, 0xc0, (sofLen >> 8) & 0xff, sofLen & 0xff, 8).map(_.toByte))
+    out.write(Array((height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, components).map(_.toByte))
+    var c = 0
+    while (c < components) {
+      out.write(Array(c + 1, 0x11, 0).map(_.toByte))
+      c += 1
+    }
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic real-format media row for id: cycles PNG/GIF/JPEG
+    * with hash-derived dimensions spanning both resize branches.
+    * Returns (payload, width, height, channels).
+    */
+  def goldenMedia(id: Long): (Array[Byte], Int, Int, Int) = {
+    var h = id * 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    val width = 16 + Math.floorMod(h, 1500).toInt
+    val height = 16 + Math.floorMod(h >> 16, 1500).toInt
+    Math.floorMod(id, 3L).toInt match {
+      case 0 =>
+        val colorType = Array(0, 2, 6)(Math.floorMod(h >> 32, 3).toInt)
+        val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+        (makePng(width, height, colorType), width, height, ch)
+      case 1 => (makeGif(width, height), width, height, 3)
+      case _ =>
+        val comps = if (Math.floorMod(h >> 40, 4) == 0L) 1 else 3
+        (makeJpeg(width, height, comps), width, height, comps)
+    }
   }
 
   /** media(id, payload BINARY) → typed metadata columns; the pooled-

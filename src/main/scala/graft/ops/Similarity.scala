@@ -42,6 +42,14 @@ object Similarity {
     v
   }
 
+  /** The plane constants as a SQL DOUBLE[] literal — lets the DuckDB
+    * oracle recompute the exact same bucket signatures (Scala Double
+    * toString is shortest-round-trip, so the literal parses back to the
+    * identical binary64 the kernel uses).
+    */
+  def hyperplaneSqlLiteral(p: Int, dim: Int): String =
+    hyperplane(p, dim).map(_.toDouble.toString).mkString("[", ", ", "]")
+
   private[ops] def signature(vec: Array[Float], bits: Int): Int = {
     var sig = 0
     var p = 0

@@ -27,21 +27,40 @@ final class IcebergLite(val root: String) extends Serializable {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def dataPath(unit: Int): String = s"$root/data/unit=$unit"
-  private def manifestPath(unit: Int) = new Path(s"$root/manifest/unit-$unit.json")
+
+  /** Manifests are versioned: `unit-<u>-v<k>.json`. A re-publish writes
+    * v(k+1) via tmp + atomic rename BEFORE deleting vk, so a committed
+    * unit always has at least one manifest entry — first-time publish
+    * and re-publish are both atomic for readers (the delete-then-rename
+    * window of a fixed filename is gone). Readers use the highest
+    * version per unit.
+    */
+  private def manifestDir = new Path(s"$root/manifest")
+  private def manifestPath(unit: Int, version: Int) =
+    new Path(s"$root/manifest/unit-$unit-v$version.json")
+
+  /** (unit, version) pairs parsed from manifest filenames. */
+  private def manifestEntries(f: FileSystem): Seq[(Int, Int)] = {
+    if (!f.exists(manifestDir)) return Seq.empty
+    f.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("unit-") && n.endsWith(".json") &&
+          n.contains("-v") =>
+        val core = n.stripPrefix("unit-").stripSuffix(".json")
+        val cut = core.lastIndexOf("-v")
+        (core.substring(0, cut).toInt, core.substring(cut + 2).toInt)
+      }
+  }
+
+  /** Latest manifest version per committed unit. */
+  private def latestVersions(f: FileSystem): Map[Int, Int] =
+    manifestEntries(f).groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
 
   def isCommitted(spark: SparkSession, unit: Int): Boolean =
-    fs(spark).exists(manifestPath(unit))
+    latestVersions(fs(spark)).contains(unit)
 
-  def committedUnits(spark: SparkSession): Seq[Int] = {
-    val dir = new Path(s"$root/manifest")
-    val f = fs(spark)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("unit-") && n.endsWith(".json") =>
-        n.stripPrefix("unit-").stripSuffix(".json").toInt
-      }.sorted
-  }
+  def committedUnits(spark: SparkSession): Seq[Int] =
+    latestVersions(fs(spark)).keys.toSeq.sorted
 
   /** Write one unit's rows and commit it: parquet overwrite into the
     * unit dir, then atomic manifest publish. Idempotent — re-running a
@@ -77,13 +96,19 @@ final class IcebergLite(val root: String) extends Serializable {
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
       .mkString("{", ", ", "}")
-    val tmp = new Path(s"$root/manifest/.unit-$unit.json.tmp")
-    f.mkdirs(new Path(s"$root/manifest"))
+    f.mkdirs(manifestDir)
+    val next = latestVersions(f).get(unit) match {
+      case Some(v) => v + 1
+      case None => 1
+    }
+    val tmp = new Path(s"$root/manifest/.unit-$unit-v$next.json.tmp")
     val out = f.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (f.exists(manifestPath(unit))) f.delete(manifestPath(unit), false)
-    f.rename(tmp, manifestPath(unit))
+    f.rename(tmp, manifestPath(unit, next)) // atomic commit of v(next)
+    // retire superseded versions only after the new one is visible
+    manifestEntries(f).filter { case (u, v) => u == unit && v < next }
+      .foreach { case (u, v) => f.delete(manifestPath(u, v), false) }
   }
 
   /** Read the committed table (only units with manifest entries). */
@@ -95,9 +120,15 @@ final class IcebergLite(val root: String) extends Serializable {
       .parquet(units.map(dataPath): _*)
   }
 
-  /** The manifest itself as a DataFrame (per-unit lineage + metrics). */
-  def manifest(spark: SparkSession): DataFrame =
-    spark.read.json(s"$root/manifest/unit-*.json")
+  /** The manifest itself as a DataFrame (per-unit lineage + metrics),
+    * latest version per unit.
+    */
+  def manifest(spark: SparkSession): DataFrame = {
+    val latest = latestVersions(fs(spark)).toSeq.sorted
+      .map { case (u, v) => manifestPath(u, v).toString }
+    require(latest.nonEmpty, s"no committed units under $root")
+    spark.read.json(latest: _*)
+  }
 
   def drop(spark: SparkSession): Unit = {
     val f = fs(spark)

@@ -7,6 +7,13 @@ package graft.text
   */
 final case class Chunk(chunk_id: Int, text: String, start: Int, end: Int)
 
+/** A chunk with the reference's full per-chunk metadata
+  * (core/processors/chunking.py:50-58): chunk_size = len(chunk),
+  * total_chunks = len(chunks), overlap_size = configured overlap.
+  */
+final case class ChunkMeta(chunk_id: Int, text: String, start: Int, end: Int,
+    chunk_size: Int, total_chunks: Int, overlap_size: Int)
+
 /** Chunking configuration — reference defaults
   * (core/processors/chunking.py:17-28, config/default.yml:32-36).
   */
@@ -37,6 +44,15 @@ object Chunker {
   def chunk(text: String, cfg: ChunkConfig = ChunkConfig()): Array[Chunk] = {
     if (text == null || PyText.strip(text).isEmpty) return Array.empty
     if (cfg.preserveSentences) bySentences(text, cfg) else byCharacters(text, cfg)
+  }
+
+  /** chunk() plus the reference's per-chunk metadata projection
+    * (chunking.py:50-58).
+    */
+  def chunkWithMeta(text: String, cfg: ChunkConfig = ChunkConfig()): Array[ChunkMeta] = {
+    val cs = chunk(text, cfg)
+    cs.map(c => ChunkMeta(c.chunk_id, c.text, c.start, c.end,
+      c.text.length, cs.length, cfg.overlap))
   }
 
   /** Sentences of the stripped text with their (start, end) offsets. */

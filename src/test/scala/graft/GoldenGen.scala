@@ -63,5 +63,47 @@ object GoldenGen {
         s"succeeded=${ex.succeeded} partial=${ex.partial} len=${text.length}")
     }
     println(s"wrote ${lines.size} digest lines + ${byFamily.size} fulltext goldens to $dir")
+
+    // ---- golden parquet tables (driver oracles, SparkEntry) ----
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("golden-gen")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val sf001 = "/root/testdata/sf0.01"
+    writeSingleParquet(
+      SparkEntry.queries("chunk_documents")(spark, sf001),
+      dir.resolve("chunks_sf001.parquet"))
+
+    val cascade = SparkEntry.queries("cascade_extract")(spark, sf001)
+    val urls = cascade.select("url").distinct().count()
+    val total = cascade.count()
+    require(urls == total, s"cascade urls not unique: $urls of $total — golden order unstable")
+    writeSingleParquet(cascade, dir.resolve("cascade_sf001.parquet"))
+
+    val media = spark.range(0, 2500).as[Long].map { id =>
+      val (payload, w, h, ch) = graft.ops.Multimodal.goldenMedia(id)
+      (id, payload, "image", w, h, ch)
+    }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
+    writeSingleParquet(media, dir.resolve("media.parquet"))
+
+    println("wrote golden parquets: chunks_sf001, cascade_sf001, media")
+    spark.stop()
+  }
+
+  /** Spark writes a directory; the goldens are committed single files. */
+  private def writeSingleParquet(df: org.apache.spark.sql.DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory("golden-pq").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    Files.createDirectories(target.getParent)
+    Files.move(part.toPath, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

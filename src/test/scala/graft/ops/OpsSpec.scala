@@ -129,4 +129,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!d.getBoolean(6))
     decoded.unpersist()
   }
+
+  test("real image header kernels: PNG/GIF/JPEG encode→decode round-trip") {
+    // PNG color types → channel map
+    for ((ct, ch) <- Seq((0, 1), (2, 3), (6, 4))) {
+      val m = Multimodal.decodeMeta(Multimodal.makePng(1234, 567, ct))
+      assert(m.kind == "image" && m.valid, s"png ct=$ct")
+      assert((m.width, m.height, m.channels) == ((1234, 567, ch)))
+    }
+    val g = Multimodal.decodeMeta(Multimodal.makeGif(320, 200))
+    assert(g.valid && (g.width, g.height, g.channels) == ((320, 200, 3)))
+    for (comps <- Seq(1, 3)) {
+      val j = Multimodal.decodeMeta(Multimodal.makeJpeg(640, 480, comps))
+      assert(j.valid && (j.width, j.height, j.channels) == ((640, 480, comps)),
+        s"jpeg comps=$comps")
+    }
+    // truncated real headers → invalid rows, never exceptions
+    for (payload <- Seq(
+        Multimodal.makePng(10, 10, 2).take(20),
+        Multimodal.makeGif(10, 10).take(9),
+        Multimodal.makeJpeg(10, 10, 3).take(6),
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte))) // JPEG with no frame
+      assert(!Multimodal.decodeMeta(payload).valid)
+  }
+
+  test("goldenMedia corpus: deterministic, kernel re-derives the truth columns") {
+    val rows = (0L until 300L).map { id =>
+      val (payload, w, h, ch) = Multimodal.goldenMedia(id)
+      val again = Multimodal.goldenMedia(id)
+      assert(java.util.Arrays.equals(payload, again._1)) // bit-stable
+      val m = Multimodal.decodeMeta(payload)
+      assert(m.valid && m.kind == "image", s"id=$id")
+      assert((m.width, m.height, m.channels) == ((w, h, ch)), s"id=$id")
+      m
+    }
+    // the generator spans both resize branches
+    assert(rows.exists(m => math.max(m.width, m.height) <= 256))
+    assert(rows.exists(m => math.max(m.width, m.height) > 256))
+  }
 }
