@@ -201,6 +201,16 @@ object SparkEntry {
         bits = 8, probeHamming = 2)
     }),
 
+    "neardup_lsh" -> ((s, dir) =>
+      // the SCALE path for embedding near-dup (multi-table hyperplane
+      // LSH buckets → candidate pairs → exact cosine verify): shuffles
+      // (table, bucket, id) triples, never the full pair matrix. The
+      // oracle recomputes the identical buckets with the plane
+      // constants inlined — parity holds whatever the probe recall.
+      graft.ops.Similarity.lshNearDupPairs(
+          t(s, dir, "embeddings"), threshold = 0.4, bits = 8, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "rag_topk" -> ((s, dir) => {
       // the flagship retrieval path (Rag.search, file_store.py:82-127):
       // threshold, total-order tiebreak, and the reference's post-k
@@ -251,6 +261,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+
+    "q9_profit" -> ((s, dir) =>
+      // lineitem fact joined to part + supplier + nation: supplier and
+      // nation are broadcast (bounded dims); part grows with SF so it
+      // keeps a shuffle join that AQE can re-plan — at 100 TB a
+      // broadcast(part) would OOM the executors
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("net_revenue"),
+          sum(col("l_quantity")).as("qty"))
+        .orderBy(col("n_name"), col("p_brand"))),
 
     // ---------------- text analysis ----------------
     "text_analysis" -> ((s, dir) =>
@@ -348,6 +374,38 @@ object SparkEntry {
         |  ORDER BY score DESC, id LIMIT 10)
         |SELECT id, floor(score * 10000)::BIGINT AS score_bp, label
         |FROM topk WHERE label = '2' ORDER BY id""".stripMargin,
+
+    "neardup_lsh" -> {
+      // same inlined-plane technique as ann_lsh, over the 8 independent
+      // tables (tableSignatures uses plane ids t*bits + p + 1000)
+      val bits = 8
+      val tables = 8
+      val sigExprs = (0 until tables).map { tt =>
+        (0 until bits).map { p =>
+          s"(CASE WHEN list_dot_product(v, ${graft.ops.Similarity.hyperplaneSqlLiteral(tt * bits + p + 1000, 64)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, $sigExprs AS sigs FROM e),
+         |b AS (SELECT vec_id, r.range AS t, sigs[r.range + 1] AS bucket
+         |      FROM sig CROSS JOIN range($tables) r),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |      FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+         |        AND a.vec_id < b2.vec_id),
+         |s AS (SELECT id_a, id_b, list_cosine_similarity(ea.v, eb.v) AS c
+         |      FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, floor(c * 10000)::BIGINT AS cos_bp
+         |FROM s WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q9_profit" ->
+      """SELECT n_name, p_brand, count(*) AS n_items,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+        |sum(l_quantity) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_minhash" ->
       """WITH arrs AS (

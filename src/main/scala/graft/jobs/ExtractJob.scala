@@ -55,20 +55,23 @@ object ExtractJob {
 
     val smallSpread =
       if (cfg.groupByHost) {
+        // skew pre-pass: hosts over budget get a per-url salt. The hot
+        // set is hash-aggregated (tiny: only over-budget hosts survive)
+        // and applied via broadcast left join — no driver collect, so
+        // the same plan holds when the hot set itself is large
         val host = parse_url(col("url"), lit("HOST"))
-        // lightweight skew pre-pass: hot hosts get a per-url salt
-        val hotHosts = withLen.select(host.as("host"))
-          .groupBy("host").count()
+        val hotHosts = withLen.select(host.as("hot_host"))
+          .groupBy("hot_host").count()
           .where(col("count") > cfg.hostBudget)
-          .select("host")
-        val key = when(host.isInCollection(
-            hotHosts.collect().map(_.getString(0)).toSeq match {
-              case s if s.isEmpty => Seq("no-hot-hosts") // never a real host
-              case s => s
-            }),
-            concat(host, lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltBuckets))))
-          .otherwise(host)
-        small.repartition(cfg.partitionsPerUnit, key)
+          .select(col("hot_host"), lit(true).as("is_hot"))
+        val key = when(col("is_hot"),
+            concat(col("page_host"), lit("#"),
+              pmod(xxhash64(col("url")), lit(cfg.saltBuckets))))
+          .otherwise(col("page_host"))
+        small.withColumn("page_host", host)
+          .join(broadcast(hotHosts), col("page_host") === col("hot_host"), "left")
+          .repartition(cfg.partitionsPerUnit, key)
+          .drop("page_host", "hot_host", "is_hot")
       } else
         small.repartition(cfg.partitionsPerUnit, xxhash64(col("url")))
 

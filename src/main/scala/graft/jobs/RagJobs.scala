@@ -27,19 +27,25 @@ object RagJobs {
     Extract.extractPages(pages, cascade)
       .filter(_.succeeded)
       .flatMap { e =>
-        Chunker.chunk(e.extracted_text, chunk).map { c =>
-          (e.url, c.chunk_id, c.text, e.title)
+        Chunker.chunkWithMeta(e.extracted_text, chunk).map { c =>
+          (e.url, c.chunk_id, c.text, e.title,
+            // per-chunk metadata projection (rag/stages/index.py:131-148)
+            Map(
+              "chunk_size" -> c.chunk_size.toString,
+              "total_chunks" -> c.total_chunks.toString,
+              "overlap_size" -> c.overlap_size.toString,
+              "extractor" -> e.strategy_used) ++ e.extras)
         }
       }
       .mapPartitions { it =>
         val emb = embedder
         it.grouped(100).flatMap { batch => // reference batching (100)
           val vecs = emb.embedBatch(batch.map(_._3))
-          batch.iterator.zip(vecs.iterator).map { case ((url, ci, text, title), v) =>
+          batch.iterator.zip(vecs.iterator).map { case ((url, ci, text, title, meta), v) =>
             IndexDoc(
               id = url.replace('/', '_').replace(':', '_') + "_chunk_" + ci,
               content = text, embedding = v, url = url, chunk_index = ci,
-              title = title)
+              title = title, meta = meta)
           }
         }
       }

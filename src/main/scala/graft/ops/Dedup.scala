@@ -23,11 +23,16 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** Word-shingle set hashed to 64-bit values. */
-  private[ops] def shingleHashes(text: String, k: Int): Array[Long] = {
+  /** Word-shingle set hashed to 64-bit values.
+    * `shortDocWholeShingle`: texts with fewer than k tokens yield one
+    * whole-text shingle (minhash behavior); false yields none (the
+    * trigram-inverted-index / DuckDB-oracle behavior).
+    */
+  private[ops] def shingleHashes(text: String, k: Int,
+      shortDocWholeShingle: Boolean = true): Array[Long] = {
     val tokens = tokenize(text)
     if (tokens.length < k) {
-      if (tokens.isEmpty) Array.empty
+      if (tokens.isEmpty || !shortDocWholeShingle) Array.empty
       else Array(hashTokens(tokens, 0, tokens.length))
     } else {
       val set = new java.util.HashSet[java.lang.Long]()
@@ -238,18 +243,22 @@ object Dedup {
     */
   def trigramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       maxDocFreq: Long = 1000000): DataFrame = {
-    val arr = split(lower(trim(col("text"))), "\\s+")
-    val grams = when(size(arr) >= lit(3),
-      array_distinct(transform(sequence(lit(1), size(arr) - 2),
-        i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1),
-          element_at(arr, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    // shuffle 8-byte hashed shingle keys, never the trigram strings;
-    // the inverted index and self-join carry (hash, id) pairs only
-    // (64-bit collisions are negligible vs the distinct-shingle count)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Shingle generation runs in the same Scala kernel family as
+    // minhash (tokenize → distinct trigram hashes): the Catalyst
+    // formulation (split + sequence/transform/concat_ws HOFs) evaluates
+    // interpreted lambdas per element and measured ~20x slower end to
+    // end. Only 8-byte hashed shingle keys ever shuffle, never trigram
+    // strings (64-bit collisions are negligible vs the shingle count).
     val toks = docs
-      .select(col("doc_id").cast("long").as("id"), explode(grams).as("tok_s"))
-      .select(col("id"), xxhash64(col("tok_s")).as("tok"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        shingleHashes(text, 3, shortDocWholeShingle = false).iterator
+          .map(h => (id, h))
+      })
+      .toDF("id", "tok")
     // stop-shingle (df > cap) removal: the hot set is tiny, so compute
     // it with a hash partial-aggregate (map-side combine, no sort) and
     // remove it with a broadcast left-anti join — vs a sort-based

@@ -3,14 +3,20 @@ package graft.rag
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** One vector-index row (core/rag/stores/base.py:11-23 → typed). */
+/** One vector-index row (core/rag/stores/base.py:11-23 → typed).
+  * `meta` is the open metadata dict's spill column (same convention as
+  * Extracted.extras): the reference's per-chunk metadata projection
+  * (rag/stages/index.py:131-148) lands here — chunk_size, total_chunks,
+  * overlap_size, extractor — plus any source passthrough keys.
+  */
 final case class IndexDoc(
     id: String,
     content: String,
     embedding: Array[Float],
     url: String,
     chunk_index: Int,
-    title: String)
+    title: String,
+    meta: Map[String, String] = Map.empty)
 
 /** Vector math as Catalyst higher-order functions — codegen-friendly,
   * no UDFs, stays inside WholeStageCodegen.

@@ -3,7 +3,21 @@ package graft.streaming
 import graft.extract.{CascadeConfig, Extract}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One event of the stateful sessionizer. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state kept per user between micro-batches. */
+final case class OpenSession(start: Long, last: Long, n: Long, value: Double)
+
+/** A closed (emitted) session. */
+final case class SessionOut(
+    user_id: Long,
+    start_ts: java.sql.Timestamp,
+    end_ts: java.sql.Timestamp,
+    n_events: Long,
+    session_value: Double)
 
 /** Structured Streaming paths. The reference is batch-only
   * (ARCHITECTURE.md:241-244 lists event-driven as future work), so these
@@ -20,16 +34,7 @@ object StreamingOps {
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       queryName: String = "graft_stream_events"): DataFrame = {
-    // FileStreamSource requires a directory; stage a lone file into one
-    val srcDir = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
-        d.toString
-      }
-    }
+    val srcDir = stageDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val agg = stream
@@ -48,6 +53,92 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Gap-based sessionization as CUSTOM STREAMING STATE
+    * (flatMapGroupsWithState + event-time timeout): the stateful
+    * equivalent of the batch events_sessionize query. Per user, events
+    * extend the open session; a gap > `gapMinutes` closes it (emitted
+    * in Append mode); the event-time timeout flushes a session once the
+    * watermark passes its close deadline, so state size stays bounded
+    * by the number of concurrently-open sessions — the shape that holds
+    * on an unbounded 100 TB/day stream where a windowed aggregation
+    * cannot express variable-length sessions.
+    *
+    * Sessions still open at end-of-input stay in state (correct stream
+    * semantics: more events may come); StreamingOpsSpec pins emitted ==
+    * batch sessions already past the watermark deadline.
+    */
+  def sessionizeStream(spark: SparkSession, eventsPath: String,
+      queryName: String = "graft_stream_sessions",
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    val srcDir = stageDir(eventsPath)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+
+    def update(userId: Long, events: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      def close(s: OpenSession): SessionOut =
+        SessionOut(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.value)
+      if (!events.hasNext) {
+        // timeout invocation: watermark passed last+gap → flush
+        if (state.hasTimedOut && state.exists) {
+          val out = close(state.get)
+          state.remove()
+          Iterator.single(out)
+        } else Iterator.empty
+      } else {
+        // micro-batch events arrive unordered; order within the batch
+        val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.value))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption.orNull
+        var i = 0
+        while (i < sorted.length) {
+          val e = sorted(i)
+          val t = e.ts.getTime
+          if (cur == null) cur = OpenSession(t, t, 1, e.value)
+          else if (t - cur.last > gapMs) {
+            out += close(cur)
+            cur = OpenSession(t, t, 1, e.value)
+          } else cur = OpenSession(cur.start, t, cur.n + 1, cur.value + e.value)
+          i += 1
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.last + gapMs)
+        out.iterator
+      }
+    }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** FileStreamSource requires a directory; stage a lone file into one. */
+  private def stageDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+      d.toString
+    }
   }
 
   /** Streaming extraction: a growing directory of page parquet files →

@@ -65,6 +65,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_jaccard plan: hash-agg df cap + broadcast anti-join, no sort window") {
+    val plan = graft.ops.Dedup.trigramJaccardPairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        threshold = 0.8, maxDocFreq = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df cap regressed to a sort window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-shingle removal is not a broadcast anti-join:\n$plan")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    // bucketing = the co-located-join story at 100 TB: both sides
+    // pre-hashed into the same bucket count on the join key, so the
+    // sort-merge join reads bucket i against bucket i with NO exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val facts = (0L until 2000L).map(i => (i % 97, i, i * 1.5)).toDF("k", "a", "b")
+      val dims = (0L until 97L).map(i => (i, s"dim_$i")).toDF("k", "name")
+      facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("pq_facts")
+      dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("pq_dims")
+      val joined = spark.table("pq_facts").join(spark.table("pq_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free:\n$plan")
+      assert(joined.count() == 2000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_facts")
+      spark.sql("DROP TABLE IF EXISTS pq_dims")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

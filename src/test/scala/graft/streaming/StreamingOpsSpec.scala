@@ -30,6 +30,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch sessions past the watermark") {
+    val sfDir = "/root/testdata/sf0.001"
+    val gapMs = 30L * 60 * 1000
+    val streamed = StreamingOps
+      .sessionizeStream(spark, s"$sfDir/events.parquet", "sos_sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4)))
+    assert(streamed.nonEmpty)
+
+    // batch truth: the same gap sessionization computed with windows
+    // (parquet ts is TIMESTAMP_NTZ; cast like the stream ingest does)
+    val batch = graft.SparkEntry.queries("events_sessionize")(spark, sfDir)
+      .withColumn("start_ts", col("start_ts").cast("timestamp"))
+      .withColumn("end_ts", col("end_ts").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp]("start_ts").getTime,
+        r.getAs[java.sql.Timestamp]("end_ts").getTime,
+        r.getLong(2), r.getDouble(5)))
+    val watermark = batch.map(_._3).max // delay 0s → wm = max event ts
+    // sessions whose close deadline passed the final watermark MUST have
+    // been flushed by the event-time timeout; later ones stay open in
+    // state (correct unbounded-stream semantics). Leave a 1ms guard band
+    // around the exact-boundary case.
+    val mustFlush = batch.filter(_._3 + gapMs < watermark - 1)
+    val mayFlush = batch.filter(_._3 + gapMs <= watermark + 1).map(k => (k._1, k._2)).toSet
+    val streamedKeys = streamed.map(s => (s._1, s._2)).toSet
+    mustFlush.foreach { b =>
+      val hit = streamed.find(s => s._1 == b._1 && s._2 == b._2)
+      assert(hit.isDefined, s"session not flushed: $b")
+      val s = hit.get
+      assert(s._3 == b._3 && s._4 == b._4, s"session shape diverged: $s vs $b")
+      assert(math.abs(s._5 - b._5) < 0.011) // batch side is round(.,2)
+    }
+    // and nothing is emitted that batch doesn't have
+    assert(streamedKeys.subsetOf(mayFlush))
+  }
+
   test("streaming extraction: incremental files, checkpointed resume, no reprocessing") {
     val pagesDir = Files.createTempDirectory("stream-pages").toString
     val outDir = Files.createTempDirectory("stream-out").toString + "/data"
