@@ -5,11 +5,16 @@ import org.apache.spark.sql.expressions.Window
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every SQL-expressible operator carries a DuckDB oracle below (same
-  * logic, same rounding, same total ORDER BY). Kernel operators
-  * (extraction cascade, chunker, minhash/simhash, LSH-ANN, multimodal)
-  * get rows-only driver checks — their byte-level correctness is pinned
-  * by the golden/parity specs under src/test.
+  * Every query except dedup_simhash carries a DuckDB oracle (same
+  * logic, same rounding, same total ORDER BY). Kernel operators that
+  * plain SQL cannot recompute use one of three techniques (all
+  * hash-checked): inlined kernel constants (LSH hyperplanes), exact
+  * set-similarity ground truth (minhash), or committed golden parquet
+  * (cascade/chunker/winnowing — frozen outputs of the byte-pinned
+  * kernels; media additionally carries generation-time truth columns
+  * the decoder must re-derive from payload bytes). simhash stays
+  * rows-only: its Java-hash kernel is not SQL-expressible; sbt recall
+  * tests pin it instead.
   */
 object SparkEntry {
   /** Flagship: the extraction cascade (the north-star operator) over the
@@ -181,6 +186,32 @@ object SparkEntry {
           t(s, dir, "documents").where(col("doc_id") < 2000), maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_apply" -> ((s, dir) => {
+      // end-to-end dedup: minhash pair mining → greedy one-pass applier
+      // (keep every doc never appearing as the larger id of a pair);
+      // the oracle recomputes the exact-jaccard pair set and anti-joins
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      graft.ops.Dedup.applyPairDedup(docs, pairs)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_winnow" -> ((s, dir) => {
+      // winnowing fingerprints (Schleimer et al. rolling-hash local
+      // fingerprints); golden-parquet oracle like the chunker
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.ops.TextAnalysis.winnow(text).iterator.zipWithIndex
+            .map { case (fp, i) => (id, i, fp) }
+        }
+        .toDF("doc_id", "fp_index", "fp")
+        .orderBy(col("doc_id"), col("fp_index"))
+    }),
+
     "neardup_cosine" -> ((s, dir) =>
       graft.ops.Dedup.cosineNearDupPairs(
           t(s, dir, "embeddings").where(col("vec_id") < 2000)
@@ -262,6 +293,24 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    "set_ops" -> ((s, dir) => {
+      // union / intersect / except over distinct label domains (Spark
+      // union is UNION ALL; except/intersect are the DISTINCT forms —
+      // the oracle mirrors exactly)
+      val segs = t(s, dir, "customer").select(col("c_mktsegment").as("v")).distinct()
+      val prios = t(s, dir, "orders").select(col("o_orderpriority").as("v")).distinct()
+      segs.union(prios).except(segs.intersect(prios)).orderBy(col("v"))
+    }),
+
+    "rollup_agg" -> ((s, dir) =>
+      // grouped rollup (subtotals + grand total in one pass)
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     "q9_profit" -> ((s, dir) =>
       // lineitem fact joined to part + supplier + nation: supplier and
       // nation are broadcast (bounded dims); part grows with SF so it
@@ -308,6 +357,33 @@ object SparkEntry {
         .orderBy(col("id"))
     })
   )
+
+  /** Exact trigram-set jaccard pairs over documents (doc_id < 2000) —
+    * the shared ground-truth CTE for the minhash miner and the greedy
+    * dedup applier (mirrors Dedup.shingleHashes semantics: k=3 word
+    * shingles of the lowercased \s+ tokenization, distinct per doc,
+    * whole-text shingle for sub-k docs).
+    */
+  private val exactJaccardCte: String =
+    """arrs AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      |  FROM documents WHERE doc_id < 2000),
+      |toks AS (
+      |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
+      |    list_transform(range(1, len(arr) - 1),
+      |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+      |    ELSE [array_to_string(arr, ' ')] END)) AS tok
+      |  FROM arrs),
+      |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+      |shared AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |exact_pairs AS (
+      |  SELECT id_a, id_b,
+      |    floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
+      |  FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |  WHERE inter / (sa.n + sb.n - inter) >= 0.8)""".stripMargin
 
   /** DuckDB oracles. Same logic, same rounding, same ORDER BY. */
   def oracleSql: Map[String, String] = Map(
@@ -408,25 +484,35 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_minhash" ->
-      """WITH arrs AS (
-        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
-        |  FROM documents WHERE doc_id < 2000),
-        |toks AS (
-        |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
-        |    list_transform(range(1, len(arr) - 1),
-        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
-        |    ELSE [array_to_string(arr, ' ')] END)) AS tok
-        |  FROM arrs),
-        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
-        |shared AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
-        |FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+      s"""WITH $exactJaccardCte
+        |SELECT id_a, id_b, jaccard_bp FROM exact_pairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH $exactJaccardCte
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id < 2000
+        |  AND doc_id NOT IN (SELECT DISTINCT id_b FROM exact_pairs)
+        |ORDER BY doc_id""".stripMargin,
+
+    "set_ops" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS v FROM customer),
+        |prios AS (SELECT DISTINCT o_orderpriority AS v FROM orders)
+        |SELECT v FROM (
+        |  SELECT v FROM (SELECT v FROM segs UNION ALL SELECT v FROM prios)
+        |  EXCEPT
+        |  SELECT v FROM (SELECT v FROM segs INTERSECT SELECT v FROM prios))
+        |ORDER BY v""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "text_winnow" ->
+      (s"SELECT doc_id, fp_index, fp FROM read_parquet('$goldenDir/winnow_sf001.parquet') " +
+        "ORDER BY doc_id, fp_index"),
 
     // golden-parquet oracles: frozen expected outputs of the spec'd
     // kernels at sf0.01 (the kernels themselves are additionally pinned

@@ -86,13 +86,17 @@ object GoldenGen {
     require(urls == total, s"cascade urls not unique: $urls of $total — golden order unstable")
     writeSingleParquet(cascade, dir.resolve("cascade_sf001.parquet"))
 
+    writeSingleParquet(
+      SparkEntry.queries("text_winnow")(spark, sf001),
+      dir.resolve("winnow_sf001.parquet"))
+
     val media = spark.range(0, 2500).as[Long].map { id =>
       val (payload, w, h, ch) = graft.ops.Multimodal.goldenMedia(id)
       (id, payload, "image", w, h, ch)
     }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
     writeSingleParquet(media, dir.resolve("media.parquet"))
 
-    println("wrote golden parquets: chunks_sf001, cascade_sf001, media")
+    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, media")
     spark.stop()
   }
 
