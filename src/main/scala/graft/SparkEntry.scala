@@ -232,6 +232,18 @@ object SparkEntry {
         bits = 8, probeHamming = 2)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF ANN: coarse quantizer trained once offline (committed
+      // centroid artifact, like a production faiss quantizer) → cell
+      // assignment → probe the nprobe nearest cells only. The oracle
+      // recomputes cells/probes from the same centroid literals.
+      val centroids = graft.ops.Similarity
+        .centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+      val idx = graft.ops.Similarity.ivfIndex(t(s, dir, "embeddings"), centroids)
+      graft.ops.Similarity.ivfTopK(idx, centroids, anchorVec(s, dir),
+        k = 10, nprobe = 4)
+    }),
+
     "neardup_lsh" -> ((s, dir) =>
       // the SCALE path for embedding near-dup (multi-table hyperplane
       // LSH buckets → candidate pairs → exact cosine verify): shuffles
@@ -450,6 +462,31 @@ object SparkEntry {
         |  ORDER BY score DESC, id LIMIT 10)
         |SELECT id, floor(score * 10000)::BIGINT AS score_bp, label
         |FROM topk WHERE label = '2' ORDER BY id""".stripMargin,
+
+    "ann_ivf" -> {
+      // cells and probes recomputed in SQL from the committed centroid
+      // artifact (Double.toString round-trips, so the literals equal
+      // the kernel's binary64 centroids); tie rule: first maximal index
+      // (list_position-of-max == the kernel's strict-> loop)
+      val cs = graft.ops.Similarity
+        .centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+      val scoreList = cs
+        .map(c => s"list_cosine_similarity(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT vec_id, v, $scoreList AS s FROM e),
+         |cells AS (SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell
+         |          FROM scored),
+         |q AS (SELECT s AS qs, v AS qv FROM scored WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cell FROM (
+         |    SELECT unnest(qs) AS sc, unnest(range(0, len(qs))) AS cell FROM q)
+         |  ORDER BY sc DESC, cell LIMIT 4)
+         |SELECT vec_id,
+         |  floor(list_cosine_similarity(v, (SELECT qv FROM q)) * 10000)::BIGINT AS score_bp
+         |FROM cells WHERE cell IN (SELECT cell FROM probes)
+         |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "neardup_lsh" -> {
       // same inlined-plane technique as ann_lsh, over the 8 independent

@@ -123,6 +123,119 @@ object Similarity {
       .select("id_a", "id_b", "cos_bp")
   }
 
+  // ---------------- IVF (inverted-file ANN) ----------------
+
+  /** Deterministic Lloyd training of the IVF coarse quantizer on a
+    * bounded sample (the standard production shape: quantizers train
+    * offline on ~100k vectors however big the corpus is, then the
+    * centroid table is a small committed artifact). Assignment metric
+    * is cosine (ties → lowest centroid index); update is the plain
+    * mean. Fully deterministic: the sample is vec_id-ordered and the
+    * driver-side loop fixes the summation order.
+    */
+  def kmeansTrainSample(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val dim = sample(0).length
+    // deterministic spread init: every (n/k)-th sample vector
+    var centroids = Array.tabulate(k)(j => sample(j * sample.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < sample.length) {
+        val c = nearestCentroid(sample(i), centroids)
+        var d = 0
+        while (d < dim) { sums(c)(d) += sample(i)(d); d += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centroids(j) // empty cluster keeps its centroid
+        else sums(j).map(_ / counts(j))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** argmax-cosine assignment; strict > keeps the FIRST maximal index
+    * (matches the SQL oracle's list_position-of-max tie rule).
+    */
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var j = 0
+    while (j < centroids.length) {
+      val s = cosineDouble(v, centroids(j))
+      if (s > bestScore) { best = j; bestScore = s }
+      j += 1
+    }
+    best
+  }
+
+  private def cosineDouble(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Assign every vector to its centroid cell (the IVF index build —
+    * one shuffle-free map over the corpus; centroids broadcast by
+    * closure, they are k*dim doubles).
+    */
+  def ivfIndex(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, nearestCentroid(v.map(_.toDouble), centroids))
+      })
+      .toDF("vec_id", "embedding", "cell")
+  }
+
+  /** IVF top-k: probe the `nprobe` cells whose centroids are nearest
+    * the query (driver-side over k centroids), exact-rescore only those
+    * cells' vectors, TakeOrderedAndProject the k best. Scan cost drops
+    * to ~nprobe/k of the corpus.
+    */
+  def ivfTopK(index: DataFrame, centroids: Array[Array[Double]],
+      query: Array[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble)
+    val probes = centroids.indices
+      .map(j => (j, cosineDouble(q, centroids(j))))
+      .sortBy { case (j, s) => (-s, j) }
+      .take(nprobe).map(_._1)
+    index
+      .where(col("cell").isin(probes: _*))
+      .withColumn("score_bp",
+        floor(VectorFunctions.cosine(col("embedding"), typedLit(query.toSeq)) * 10000)
+          .cast("long"))
+      .orderBy(desc("score_bp"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "score_bp")
+  }
+
+  /** Centroids ↔ committed text artifact (one comma-separated line per
+    * centroid; Double.toString round-trips exactly, so the SQL oracle's
+    * inlined literals equal the kernel's binary64 values).
+    */
+  def centroidsToLines(cs: Array[Array[Double]]): String =
+    cs.map(_.mkString(",")).mkString("\n") + "\n"
+
+  def centroidsFromFile(path: String): Array[Array[Double]] =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble))
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` bit flips, exact-rescore candidates, take k.
     */

@@ -90,6 +90,15 @@ object GoldenGen {
       SparkEntry.queries("text_winnow")(spark, sf001),
       dir.resolve("winnow_sf001.parquet"))
 
+    // IVF coarse quantizer: trained once on the sf0.01 sample, committed
+    // as text (Double round-trip) — the offline-trained artifact both
+    // ann_ivf and its DuckDB oracle consume
+    val centroids = graft.ops.Similarity.kmeansTrainSample(
+      spark.read.parquet(s"$sf001/embeddings.parquet"), k = 16, iters = 5)
+    Files.write(dir.resolve("ivf_centroids.txt"),
+      graft.ops.Similarity.centroidsToLines(centroids)
+        .getBytes(StandardCharsets.UTF_8))
+
     val media = spark.range(0, 2500).as[Long].map { id =>
       val (payload, w, h, ch) = graft.ops.Multimodal.goldenMedia(id)
       (id, payload, "image", w, h, ch)

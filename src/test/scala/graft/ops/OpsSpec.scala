@@ -130,6 +130,29 @@ class OpsSpec extends AnyFunSuite {
     decoded.unpersist()
   }
 
+  test("IVF ANN: probing every cell equals brute force; partial probe keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.kmeansTrainSample(emb, k = 8, iters = 4)
+    assert(centroids.length == 8 && centroids(0).length == 64)
+    // deterministic: same input → identical centroids
+    val again = Similarity.kmeansTrainSample(emb, k = 8, iters = 4)
+    assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) })
+    val idx = Similarity.ivfIndex(emb, centroids).cache()
+    assert(idx.select("cell").distinct().count() > 1) // cells actually split
+    val q = emb.where(col("vec_id") === 3)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val full = Similarity.ivfTopK(idx, centroids, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute) // nprobe = k cells → exact
+    val partial = Similarity.ivfTopK(idx, centroids, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.contains(3L)) // the query's own cell is always probed
+    val recall = partial.intersect(brute).size
+    assert(recall >= 4, s"recall@10 with nprobe=4/8: $recall")
+    idx.unpersist()
+  }
+
   test("real image header kernels: PNG/GIF/JPEG encode→decode round-trip") {
     // PNG color types → channel map
     for ((ct, ch) <- Seq((0, 1), (2, 3), (6, 4))) {
