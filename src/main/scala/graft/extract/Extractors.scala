@@ -448,10 +448,11 @@ object Extractors {
   // ------------------------------------------------------------------
   // Strategy 3: newspaper-style article detection
   // ------------------------------------------------------------------
-  def newspaperLike(dom: Dom, stats: DomStats): StratResult = {
+  /** top-node scoring: each <p> with >= 5 words and link density < 0.5
+    * votes its word mass to parent (full) and grandparent (half)
+    */
+  private def scoreTopNode(dom: Dom, stats: DomStats): Int = {
     val n = dom.size
-    // top-node scoring: each <p> with >= 5 words and link density < 0.5
-    // votes its word mass to parent (full) and grandparent (half)
     val score = stats.score
     val touched = stats.touched
     java.util.Arrays.fill(touched, 0, n, false)
@@ -477,34 +478,116 @@ object Extractors {
       if (touched(i) && score(i) > topScore) { top = i; topScore = score(i) }
       i += 1
     }
+    top
+  }
 
-    val out = new java.lang.StringBuilder(256)
-    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+  private def emitParagraphs(dom: Dom, top: Int, out: java.lang.StringBuilder,
+      spans: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
     if (top >= 0) {
       // paragraphs: each descendant <p> (word-bearing) plus direct text
-      // children of the top node, in document order, joined "\n\n"
+      // children of the top node, in document order, joined "\n\n".
+      // Paragraph text is normalized (strip + Python-\s collapse) in a
+      // single fused pass straight into `out` — the old
+      // paragraphText→normalizeWhitespace→append chain copied every
+      // article char 3-4x and was the cascade's largest cost.
       dom.walk(top) { node =>
         if (dom.isElem(node) && dom.tag(node) == T.P) {
-          val para = paragraphText(dom, node)
-          if (para.nonEmpty) appendPara(out, spans, para)
+          appendParaFused(dom, node, out, spans)
           false // paragraph consumed whole
         } else if (dom.isElem(node)) {
           val t = dom.tag(node)
           !(t == T.Script || t == T.Style || t == T.Noscript || t == T.Template)
         } else {
-          if (dom.isText(node) && dom.parent(node) == top) {
-            val seg = PyText.normalizeWhitespace(dom.text(node))
-            if (seg.nonEmpty) appendPara(out, spans, seg)
-          }
+          if (dom.isText(node) && dom.parent(node) == top)
+            appendTextFused(dom.text(node), out, spans)
           true
         }
       }
     }
+  }
+
+  /** One fused pass over a paragraph subtree: concatenate its non-
+    * script/style text nodes with leading/trailing Python-space
+    * stripped and inner runs collapsed to one ' ', appended directly to
+    * `out` behind a lazily-committed "\n\n" separator. Byte-equivalent
+    * to normalizeWhitespace(paragraphText(..)) + appendPara (goldens
+    * enforce this).
+    */
+  private def appendParaFused(dom: Dom, node: Int,
+      out: java.lang.StringBuilder,
+      spans: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
+    val mark = out.length()
+    if (mark > 0) out.append("\n\n")
+    val start = out.length()
+    var pendingSpace = false
+    var wrote = false
+    dom.walk(node) { n =>
+      if (dom.isElem(n)) {
+        val t = dom.tag(n)
+        !(t == T.Script || t == T.Style)
+      } else {
+        if (dom.isText(n)) {
+          val s = dom.text(n)
+          var i = 0
+          val len = s.length
+          while (i < len) {
+            if (PyText.isPySpace(s.charAt(i))) {
+              if (wrote) pendingSpace = true
+              i += 1
+            } else {
+              val runStart = i
+              while (i < len && !PyText.isPySpace(s.charAt(i))) i += 1
+              if (pendingSpace) { out.append(' '); pendingSpace = false }
+              out.append(s, runStart, i) // bulk copy of the word run
+              wrote = true
+            }
+          }
+        }
+        true
+      }
+    }
+    if (!wrote) out.setLength(mark) // empty paragraph: roll back the sep
+    else spans += ((start, out.length(), "para"))
+  }
+
+  /** Fused single-text-node variant of [[appendParaFused]]. */
+  private def appendTextFused(s: String, out: java.lang.StringBuilder,
+      spans: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): Unit = {
+    if (s == null) return
+    val mark = out.length()
+    if (mark > 0) out.append("\n\n")
+    val start = out.length()
+    var pendingSpace = false
+    var wrote = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (PyText.isPySpace(s.charAt(i))) {
+        if (wrote) pendingSpace = true
+        i += 1
+      } else {
+        val runStart = i
+        while (i < len && !PyText.isPySpace(s.charAt(i))) i += 1
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(s, runStart, i)
+        wrote = true
+      }
+    }
+    if (!wrote) out.setLength(mark)
+    else spans += ((start, out.length(), "para"))
+  }
+
+  def newspaperLike(dom: Dom, stats: DomStats): StratResult = {
+    val top = scoreTopNode(dom, stats)
+    val out = new java.lang.StringBuilder(256)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    emitParagraphs(dom, top, out, spans)
     val content = out.toString
+    val meta = scanNewsMeta(dom)
     StratResult(content, spans.toArray,
-      title = newsTitle(dom),
-      author = authors(dom),
-      publishDate = publishDate(dom),
+      title = newsTitle(dom, meta),
+      author = authors(dom, meta),
+      publishDate = publishDate(meta),
       succeeded = true, // reference quirk: newspaper reports success even
                         // for empty text (newspaper_extractor.py:47)
       reason = null)
@@ -537,6 +620,76 @@ object Extractors {
     PyText.normalizeWhitespace(sb.toString)
   }
 
+  /** Every metadata field the newspaper strategy reads, collected in
+    * ONE DOM walk (was ~6 eager full walks per page: og:title, four
+    * author metas, published_time/time — measured as the cascade's
+    * single largest cost). Per key: first occurrence with non-empty
+    * stripped content wins, exactly like the per-key metaContent walks.
+    */
+  private final class NewsMeta {
+    var ogTitle: String = _
+    var metaAuthor: String = _
+    var metaByl: String = _
+    var metaDcCreator: String = _
+    var metaArticleAuthor: String = _
+    var publishedTime: String = _
+    var timeDatetime: String = _
+    var metaDate: String = _
+    var metaPubdate: String = _
+    var metaPublishdate: String = _
+    var metaTimestamp: String = _
+    var metaDcIssued: String = _
+  }
+
+  private def scanNewsMeta(dom: Dom): NewsMeta = {
+    val m = new NewsMeta
+    dom.walk(0) { n =>
+      if (dom.isElem(n)) {
+        val t = dom.tag(n)
+        if (t == T.Meta) {
+          val prop = dom.attr(n, "property")
+          val name = dom.attr(n, "name")
+          def content: String = {
+            val c = dom.attr(n, "content")
+            if (c == null) null
+            else { val s = PyText.strip(c); if (s.isEmpty) null else s }
+          }
+          if (prop != null) {
+            if (m.ogTitle == null && prop.equalsIgnoreCase("og:title"))
+              m.ogTitle = content
+            if (m.metaArticleAuthor == null && prop.equalsIgnoreCase("article:author"))
+              m.metaArticleAuthor = content
+            if (m.publishedTime == null && prop.equalsIgnoreCase("article:published_time"))
+              m.publishedTime = content
+          }
+          if (name != null) {
+            if (m.metaAuthor == null && name.equalsIgnoreCase("author"))
+              m.metaAuthor = content
+            if (m.metaByl == null && name.equalsIgnoreCase("byl"))
+              m.metaByl = content
+            if (m.metaDcCreator == null && name.equalsIgnoreCase("dc.creator"))
+              m.metaDcCreator = content
+            if (m.metaDate == null && name.equalsIgnoreCase("date"))
+              m.metaDate = content
+            if (m.metaPubdate == null && name.equalsIgnoreCase("pubdate"))
+              m.metaPubdate = content
+            if (m.metaPublishdate == null && name.equalsIgnoreCase("publishdate"))
+              m.metaPublishdate = content
+            if (m.metaTimestamp == null && name.equalsIgnoreCase("timestamp"))
+              m.metaTimestamp = content
+            if (m.metaDcIssued == null && name.equalsIgnoreCase("dc.date.issued"))
+              m.metaDcIssued = content
+          }
+        } else if (t == T.Time && m.timeDatetime == null) {
+          val d = dom.attr(n, "datetime")
+          if (d != null && PyText.strip(d).nonEmpty) m.timeDatetime = PyText.strip(d)
+        }
+      }
+      true
+    }
+    m
+  }
+
   private def metaContent(dom: Dom, attr: String, value: String): String = {
     var found: String = null
     dom.walk(0) { n =>
@@ -552,9 +705,8 @@ object Extractors {
     found
   }
 
-  private def newsTitle(dom: Dom): String = {
-    val og = metaContent(dom, "property", "og:title")
-    if (og != null) return og
+  private def newsTitle(dom: Dom, meta: NewsMeta): String = {
+    if (meta.ogTitle != null) return meta.ogTitle
     val t = titleText(dom)
     if (t != null) return t
     val h1 = dom.findFirst(0, T.H1)
@@ -565,12 +717,10 @@ object Extractors {
     null
   }
 
-  private def authors(dom: Dom): String = {
+  private def authors(dom: Dom, meta: NewsMeta): String = {
     val found = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (v <- Seq(metaContent(dom, "name", "author"),
-                  metaContent(dom, "name", "byl"),
-                  metaContent(dom, "name", "dc.creator"),
-                  metaContent(dom, "property", "article:author")))
+    for (v <- Seq(meta.metaAuthor, meta.metaByl, meta.metaDcCreator,
+                  meta.metaArticleAuthor))
       if (v != null) found += v
     if (found.isEmpty) {
       // visible byline: class/id/rel containing author|byline|byl
@@ -593,24 +743,14 @@ object Extractors {
     if (found.isEmpty) null else found.mkString(", ")
   }
 
-  private def publishDate(dom: Dom): java.sql.Timestamp = {
-    var raw = metaContent(dom, "property", "article:published_time")
-    if (raw == null) {
-      // <time datetime=...>
-      var dt: String = null
-      dom.walk(0) { n =>
-        if (dt == null && dom.isElem(n) && dom.tag(n) == T.Time) {
-          val d = dom.attr(n, "datetime")
-          if (d != null && PyText.strip(d).nonEmpty) dt = PyText.strip(d)
-        }
-        dt == null
-      }
-      raw = dt
-    }
-    if (raw == null)
-      raw = Seq("date", "pubdate", "publishdate", "timestamp", "dc.date.issued")
-        .iterator.map(metaContent(dom, "name", _)).collectFirst { case v if v != null => v }
-        .orNull
+  private def publishDate(meta: NewsMeta): java.sql.Timestamp = {
+    var raw = meta.publishedTime
+    if (raw == null) raw = meta.timeDatetime
+    if (raw == null) raw = meta.metaDate
+    if (raw == null) raw = meta.metaPubdate
+    if (raw == null) raw = meta.metaPublishdate
+    if (raw == null) raw = meta.metaTimestamp
+    if (raw == null) raw = meta.metaDcIssued
     if (raw == null) null else parseIsoTimestamp(raw)
   }
 
