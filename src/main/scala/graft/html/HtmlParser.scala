@@ -93,8 +93,16 @@ final class HtmlParser {
       } else if (c == '&') {
         i = Entities.decodeRef(html, i, len, sb)
       } else {
-        sb.append(c)
-        i += 1
+        // bulk-copy the whole plain-text run (the dominant case) in one
+        // append instead of per-character
+        var j = i + 1
+        var stop = false
+        while (j < len && !stop) {
+          val cj = html.charAt(j)
+          if (cj == '<' || cj == '&') stop = true else j += 1
+        }
+        sb.append(html, i, j)
+        i = j
       }
     }
     flushText()

@@ -16,13 +16,19 @@ package graft.text
   */
 object PyText {
 
-  /** Python str whitespace: \\t-\\r, \\x1c-\\x1f, space, \\x85, Zs, Zl, Zp. */
+  /** Python str whitespace: \\t-\\r, \\x1c-\\x1f, space, \\x85, Zs, Zl, Zp.
+    * Structured so the overwhelmingly common case (ASCII letters and
+    * digits, 0x21..0x84) decides in two comparisons — this predicate
+    * runs per character in the stats/emission/tokenize hot loops.
+    */
   def isPySpace(c: Char): Boolean = {
-    val i = c.toInt
-    (i >= 0x09 && i <= 0x0d) || i == 0x20 ||
-    (i >= 0x1c && i <= 0x1f) || i == 0x85 || i == 0xa0 ||
-    i == 0x1680 || (i >= 0x2000 && i <= 0x200a) ||
-    i == 0x2028 || i == 0x2029 || i == 0x202f || i == 0x205f || i == 0x3000
+    if (c > 0x20) {
+      if (c < 0x85) false
+      else c == 0x85 || c == 0xa0 || c == 0x1680 ||
+        (c >= 0x2000 && c <= 0x200a) || c == 0x2028 || c == 0x2029 ||
+        c == 0x202f || c == 0x205f || c == 0x3000
+    } else
+      c == 0x20 || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f)
   }
 
   /** Java-regex character class equal to Python's `\s` over str. */
