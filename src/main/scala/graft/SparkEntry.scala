@@ -344,6 +344,14 @@ object SparkEntry {
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    "token_count" -> ((s, dir) =>
+      // whitespace words + BPE-ish pre-tokenizer pieces (the metric a
+      // training pipeline bills by); both codegen'd regex columns
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     "text_normalize" -> ((s, dir) =>
       // the reference's normalize_whitespace processor over extraction
       // output shape (processors/base.py:41-61) — Python \s semantics
@@ -577,6 +585,13 @@ object SparkEntry {
         |  floor(width * scale)::INT AS out_width,
         |  floor(height * scale)::INT AS out_height
         |FROM r ORDER BY id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
+        |len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+|[ \t\n\r]+'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_normalize" -> {
       // Python-\s class in RE2 syntax (the Spark side uses the Java form)

@@ -15,6 +15,22 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")))
       .cast("long")
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct
+    * splitting with an attached leading space), simplified to
+    * engine-portable ASCII classes with no lookahead so the DuckDB
+    * oracle (RE2) runs the identical pattern. The alternation's
+    * character classes are disjoint, which makes Java's leftmost-FIRST
+    * and RE2's leftmost-LONGEST semantics pick identical matches.
+    */
+  val BpeTokenPattern: String =
+    " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  /** Token count under the BPE-ish pre-tokenizer (the budget metric a
+    * training pipeline actually bills by, vs whitespace words).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Stopword sets per language for the n-gram language heuristic.
     * Word lists are the top function words of each language (public
     * knowledge).
