@@ -246,6 +246,46 @@ object Multimodal {
       .toDF("id", "kind", "width", "height", "channels", "payload_len", "valid")
   }
 
+  /** Real feature extraction from the payload bytes (no codec needed):
+    * header metadata joined with content statistics — byte entropy
+    * (Shannon, over the 256-bucket byte histogram), zero-byte ratio,
+    * and aspect ratio. The mapPartitions kernel reuses one histogram
+    * buffer per partition (pooled, like the HTML parser).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val hist = new Array[Long](256) // pooled per partition
+        it.map { case (id, bytes) =>
+          val m = decodeMeta(bytes)
+          java.util.Arrays.fill(hist, 0L)
+          var i = 0
+          val n = if (bytes == null) 0 else bytes.length
+          while (i < n) { hist(bytes(i) & 0xff) += 1; i += 1 }
+          var entropy = 0.0
+          var zeros = 0L
+          if (n > 0) {
+            var b = 0
+            while (b < 256) {
+              val c = hist(b)
+              if (c > 0) {
+                val p = c.toDouble / n
+                entropy -= p * (math.log(p) / math.log(2.0))
+              }
+              b += 1
+            }
+            zeros = hist(0)
+          }
+          val aspect = if (m.height > 0) m.width.toDouble / m.height else 0.0
+          (id, m.kind, m.valid, n, entropy, zeros.toDouble / math.max(n, 1), aspect)
+        }
+      }
+      .toDF("id", "kind", "valid", "n_bytes", "byte_entropy", "zero_ratio", "aspect_ratio")
+  }
+
   /** STUB resize: metadata-only transform preserving aspect ratio. */
   def resizeStub(decoded: DataFrame, maxSide: Int = 256): DataFrame =
     decoded

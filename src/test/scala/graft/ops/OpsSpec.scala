@@ -153,6 +153,27 @@ class OpsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("multimodal feature extraction: entropy/zero-ratio/aspect from payload bytes") {
+    val media = spark.range(0, 120).map { id =>
+      (id, Multimodal.goldenMedia(id)._1)
+    }.toDF("id", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 120)
+    f.foreach { r =>
+      assert(r.getBoolean(2), s"invalid row: $r") // all golden payloads decode
+      val entropy = r.getDouble(4)
+      assert(entropy >= 0.0 && entropy <= 8.0) // Shannon bounds for bytes
+      val aspect = r.getDouble(6)
+      assert(aspect > 0.0)
+    }
+    // hand-check one known payload: uniform content has higher entropy
+    // than the near-empty GIF header
+    val gif = Multimodal.extractFeatures(
+      Seq((0L, Multimodal.makeGif(100, 50))).toDF("id", "payload")).collect()(0)
+    assert(math.abs(gif.getDouble(6) - 2.0) < 1e-9) // aspect 100/50
+    assert(gif.getInt(3) == 14 || gif.getLong(3) == 14L)
+  }
+
   test("real image header kernels: PNG/GIF/JPEG encode→decode round-trip") {
     // PNG color types → channel map
     for ((ct, ch) <- Seq((0, 1), (2, 3), (6, 4))) {
