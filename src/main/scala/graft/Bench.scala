@@ -50,11 +50,12 @@ object Bench {
     // local[cpus].
     val nLow = math.max(1, cpus / 8)
     val nHigh = math.max(2, cpus / 2)
-    // sized so the local[4N] timed run is seconds, not sub-second —
-    // otherwise fixed job overhead masks the true scaling
+    // sized so the local[4N] timed run is several seconds, not
+    // sub-second — otherwise fixed job overhead (session, scheduling,
+    // first-stage JIT) masks the true scaling
     val scalePages =
-      if (sfDir.contains("sf0.1")) 240000L
-      else if (sfDir.contains("sf0.01")) 60000L else 8000L
+      if (sfDir.contains("sf0.1")) 480000L
+      else if (sfDir.contains("sf0.01")) 120000L else 8000L
 
     // ---- stage the scaling input once (not timed) ----
     val pagesPath: String = Files.createTempDirectory("graft-bench-pages").toString
@@ -79,14 +80,18 @@ object Bench {
     sQ.stop()
 
     // ---- scaling: same job, nLow vs cpus threads, same input ----
-    // two timed runs per level, best taken (steadier JIT/page cache)
+    // three timed runs per level, best taken (steadier JIT/page cache);
+    // a GC barrier between levels so the earlier level's garbage does
+    // not tax the later level's timed region
     def extractionRate(n: Int): Double = {
       val s = session(n)
       val pages = s.read.parquet(pagesPath)
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 3).map { _ =>
         time(graft.extract.Extract.extractPages(pages).filter(_.succeeded).count())._2
       }
       s.stop()
+      System.gc()
+      Thread.sleep(500)
       scalePages / secs.min
     }
     val rateLow = extractionRate(nLow)
