@@ -363,6 +363,19 @@ object SparkEntry {
           col("meets_threshold"))
         .orderBy(col("doc_id"))),
 
+    "curate_corpus" -> ((s, dir) => {
+      // the composite flow a training-data pipeline actually runs:
+      // quality gate + language gate + near-dup removal, one anti-join
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val kept = graft.ops.TextAnalysis.analyze(docs)
+        .where(col("quality_bp") >= 2000 && col("lang_guess") === "en")
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      graft.ops.Dedup.applyPairDedup(kept, pairs)
+        .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- multimodal ----------------
     "multimodal_decode" -> ((s, dir) => {
       // committed real-format media corpus (tiny but structurally valid
@@ -404,6 +417,40 @@ object SparkEntry {
       |    floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
       |  FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
       |  WHERE inter / (sa.n + sb.n - inter) >= 0.8)""".stripMargin
+
+  /** Per-doc text-analysis columns as composable CTEs ending in
+    * `analysis` — shared by the text_analysis and curate_corpus
+    * oracles (same logic as TextAnalysis.analyze).
+    */
+  private val textAnalysisCtes: String =
+    ("""base AS (SELECT doc_id, text, trim(text) AS t FROM documents),
+      |c AS (SELECT doc_id, text, t,
+      |  CASE WHEN length(t) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(t, '\s+')) END AS n_tokens,
+      |  len(regexp_extract_all(lower(t), '\b(""" +
+      graft.ops.TextAnalysis.langStopwords("en").mkString("|") + """)\b')) AS c_en,
+      |  len(regexp_extract_all(lower(t), '\b(""" +
+      graft.ops.TextAnalysis.langStopwords("de").mkString("|") + """)\b')) AS c_de,
+      |  len(regexp_extract_all(lower(t), '\b(""" +
+      graft.ops.TextAnalysis.langStopwords("fr").mkString("|") + """)\b')) AS c_fr,
+      |  len(regexp_extract_all(lower(t), '\b(""" +
+      graft.ops.TextAnalysis.langStopwords("es").mkString("|") + """)\b')) AS c_es,
+      |  len(regexp_extract_all(t, '[.!?]')) AS sents,
+      |  length(regexp_replace(t, '[\p{L}\p{N}\s.,!?;:''"-]', '', 'g')) AS syms
+      |FROM base),
+      |analysis AS (
+      |SELECT doc_id, n_tokens,
+      |  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+      |       WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+      |       WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+      |       WHEN c_es > 0 THEN 'es' ELSE 'und' END AS lang_guess,
+      |  floor(greatest(0.0,
+      |    least(length(t) / 500.0, 1.0) * 0.35 +
+      |    least(sents / greatest(n_tokens / 25.0, 1.0), 1.0) * 0.25 +
+      |    least(c_en * 10.0 / greatest(n_tokens, 1), 1.0) * 0.25 +
+      |    (1.0 - least(syms * 5.0 / greatest(length(t), 1), 1.0)) * 0.15) * 10000)::BIGINT AS quality_bp,
+      |  sha256(regexp_replace(lower(t), '\s+', ' ', 'g')) AS fingerprint
+      |FROM c)""").stripMargin
 
   /** DuckDB oracles. Same logic, same rounding, same ORDER BY. */
   def oracleSql: Map[String, String] = Map(
@@ -686,32 +733,16 @@ object SparkEntry {
     },
 
     "text_analysis" ->
-      ("""WITH base AS (SELECT doc_id, text, trim(text) AS t FROM documents),
-        |c AS (SELECT doc_id, text, t,
-        |  CASE WHEN length(t) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(t, '\s+')) END AS n_tokens,
-        |  len(regexp_extract_all(lower(t), '\b(""" +
-        graft.ops.TextAnalysis.langStopwords("en").mkString("|") + """)\b')) AS c_en,
-        |  len(regexp_extract_all(lower(t), '\b(""" +
-        graft.ops.TextAnalysis.langStopwords("de").mkString("|") + """)\b')) AS c_de,
-        |  len(regexp_extract_all(lower(t), '\b(""" +
-        graft.ops.TextAnalysis.langStopwords("fr").mkString("|") + """)\b')) AS c_fr,
-        |  len(regexp_extract_all(lower(t), '\b(""" +
-        graft.ops.TextAnalysis.langStopwords("es").mkString("|") + """)\b')) AS c_es,
-        |  len(regexp_extract_all(t, '[.!?]')) AS sents,
-        |  length(regexp_replace(t, '[\p{L}\p{N}\s.,!?;:''"-]', '', 'g')) AS syms
-        |FROM base)
-        |SELECT doc_id, n_tokens,
-        |  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-        |       WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
-        |       WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
-        |       WHEN c_es > 0 THEN 'es' ELSE 'und' END AS lang_guess,
-        |  floor(greatest(0.0,
-        |    least(length(t) / 500.0, 1.0) * 0.35 +
-        |    least(sents / greatest(n_tokens / 25.0, 1.0), 1.0) * 0.25 +
-        |    least(c_en * 10.0 / greatest(n_tokens, 1), 1.0) * 0.25 +
-        |    (1.0 - least(syms * 5.0 / greatest(length(t), 1), 1.0)) * 0.15) * 10000)::BIGINT AS quality_bp,
-        |  sha256(regexp_replace(lower(t), '\s+', ' ', 'g')) AS fingerprint
-        |FROM c ORDER BY doc_id""").stripMargin
+      s"""WITH $textAnalysisCtes
+        |SELECT doc_id, n_tokens, lang_guess, quality_bp, fingerprint
+        |FROM analysis ORDER BY doc_id""".stripMargin,
+
+    "curate_corpus" ->
+      s"""WITH $textAnalysisCtes,
+        |$exactJaccardCte
+        |SELECT doc_id, n_tokens, quality_bp FROM analysis
+        |WHERE doc_id < 2000 AND quality_bp >= 2000 AND lang_guess = 'en'
+        |  AND doc_id NOT IN (SELECT DISTINCT id_b FROM exact_pairs)
+        |ORDER BY doc_id""".stripMargin
   )
 }

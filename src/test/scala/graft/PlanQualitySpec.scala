@@ -99,6 +99,38 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key carrying ~100x the rows of the others; with tiny
+    // advisory sizes AQE's skew-join optimization must split it
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val skewed = spark.range(0, 200000).map { i =>
+        val k = if (i % 2 == 0) 0L else i % 97 // half the rows on key 0
+        (k, "payload-" + i)
+      }.toDF("k", "v").repartition(8)
+      val dim = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "name")
+      val joined = skewed.join(dim, "k")
+      // execute THIS Dataset's own QueryExecution (count() would plan a
+      // separate aggregate and leave this plan unexecuted/non-final)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew handling in final AQE plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)
