@@ -30,6 +30,31 @@ final class HtmlParser {
   private var depth = 0
   private val MaxDepth = 512
 
+  /** Direct-mapped cache of lowercased tag/attr names: HTML repeats the
+    * same few dozen names millions of times, so readName output is
+    * canonicalized without a per-occurrence String allocation.
+    */
+  private val nameCache = new Array[String](256)
+
+  /** The current nameBuf contents as a canonical String. */
+  private def internedName(): String = {
+    val n = nameBuf.length()
+    var h = 0
+    var i = 0
+    while (i < n) { h = h * 31 + nameBuf.charAt(i); i += 1 }
+    val slot = (h ^ (h >>> 16)) & 255
+    val cached = nameCache(slot)
+    if (cached != null && cached.length == n) {
+      var k = 0
+      var same = true
+      while (same && k < n) { same = cached.charAt(k) == nameBuf.charAt(k); k += 1 }
+      if (same) return cached
+    }
+    val s = nameBuf.toString
+    nameCache(slot) = s
+    s
+  }
+
   private def push(node: Int, t: Int): Unit = {
     if (depth < MaxDepth) {
       if (depth == stack.length) {
@@ -136,7 +161,7 @@ final class HtmlParser {
   /** Parse a start tag whose name begins at `i0`; returns resume index. */
   private def parseStartTag(s: String, i0: Int, len: Int): Int = {
     var i = readName(s, i0, len)
-    val t = TagDict.intern(nameBuf.toString)
+    val t = TagDict.intern(internedName())
 
     // implicit closes (HTML5-ish): </p>, </li>, </dt|dd>, </option>,
     // </tr>, </td|th>, nested <a>
@@ -172,7 +197,7 @@ final class HtmlParser {
         } else {
           // attribute
           i = readName(s, i, len)
-          val an = nameBuf.toString
+          val an = internedName()
           while (i < len && isWs(s.charAt(i))) i += 1
           var av = ""
           if (i < len && s.charAt(i) == '=') {
@@ -258,7 +283,7 @@ final class HtmlParser {
   /** Parse an end tag whose name begins at `i0`; returns resume index. */
   private def parseEndTag(s: String, i0: Int, len: Int): Int = {
     var i = readName(s, i0, len)
-    val t = TagDict.intern(nameBuf.toString)
+    val t = TagDict.intern(internedName())
     // skip to '>' (end-tag attributes are ignored)
     while (i < len && s.charAt(i) != '>') i += 1
     if (i < len) i += 1
