@@ -606,6 +606,14 @@ object SparkEntry {
       (s"SELECT doc_id, fp_index, fp FROM read_parquet('$goldenDir/winnow_sf001.parquet') " +
         "ORDER BY doc_id, fp_index"),
 
+    // weakest oracle tier (regression pin, not an independent
+    // recomputation): simhash's Java-hash kernel is not SQL-expressible,
+    // so the expected pair set is frozen once; semantics are pinned by
+    // the sbt recall-vs-exact test
+    "dedup_simhash" ->
+      (s"SELECT id_a, id_b, hamming FROM read_parquet('$goldenDir/simhash_sf001.parquet') " +
+        "ORDER BY id_a, id_b"),
+
     // golden-parquet oracles: frozen expected outputs of the spec'd
     // kernels at sf0.01 (the kernels themselves are additionally pinned
     // byte-for-byte by the sbt golden/parity suites; these rows give the

@@ -593,18 +593,9 @@ object Extractors {
       reason = null)
   }
 
-  private def appendPara(
-      out: java.lang.StringBuilder,
-      spans: scala.collection.mutable.ArrayBuffer[(Int, Int, String)],
-      para: String): Unit = {
-    if (out.length() > 0) out.append("\n\n")
-    val start = out.length()
-    out.append(para)
-    spans += ((start, out.length(), "para"))
-  }
-
   /** Inner text of a paragraph with whitespace collapsed (newspaper's
-    * OutputFormatter innerTrim behavior).
+    * OutputFormatter innerTrim behavior; the hot-path equivalent is the
+    * fused [[appendParaFused]] — this remains for the h1/byline lookups).
     */
   private def paragraphText(dom: Dom, p: Int): String = {
     val sb = new java.lang.StringBuilder(64)
@@ -688,21 +679,6 @@ object Extractors {
       true
     }
     m
-  }
-
-  private def metaContent(dom: Dom, attr: String, value: String): String = {
-    var found: String = null
-    dom.walk(0) { n =>
-      if (found == null && dom.isElem(n) && dom.tag(n) == T.Meta) {
-        val a = dom.attr(n, attr)
-        if (a != null && a.equalsIgnoreCase(value)) {
-          val c = dom.attr(n, "content")
-          if (c != null && PyText.strip(c).nonEmpty) found = PyText.strip(c)
-        }
-      }
-      found == null
-    }
-    found
   }
 
   private def newsTitle(dom: Dom, meta: NewsMeta): String = {

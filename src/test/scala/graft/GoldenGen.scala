@@ -90,6 +90,10 @@ object GoldenGen {
       SparkEntry.queries("text_winnow")(spark, sf001),
       dir.resolve("winnow_sf001.parquet"))
 
+    writeSingleParquet(
+      SparkEntry.queries("dedup_simhash")(spark, sf001),
+      dir.resolve("simhash_sf001.parquet"))
+
     // IVF coarse quantizer: trained once on the sf0.01 sample, committed
     // as text (Double round-trip) — the offline-trained artifact both
     // ann_ivf and its DuckDB oracle consume
@@ -105,7 +109,7 @@ object GoldenGen {
     }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
     writeSingleParquet(media, dir.resolve("media.parquet"))
 
-    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, media")
+    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, simhash_sf001, media")
     spark.stop()
   }
 
