@@ -33,6 +33,21 @@ class CliSpec extends AnyFunSuite {
     assert(df.where(size(col("embedding")) =!= 384).count() == 0)
   }
 
+  test("extract verb: cache-free staged input, unit-partitioned resume table") {
+    val work = Files.createTempDirectory("cli-extract")
+    val out = work.resolve("table").toString
+    Cli.main(Array("extract", "synth:200", out, "--units", "2"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val t = new graft.table.IcebergLite(out)
+    assert(t.committedUnits(spark) == Seq(0, 1))
+    assert(t.read(spark).count() == 200)
+    // the staged input is hive-partitioned by unit (each unit's run
+    // reads only its own files — no full-table cache)
+    val staged = new java.io.File(s"$out/_staged_pages")
+    assert(staged.listFiles().map(_.getName).count(_.startsWith("unit=")) == 2)
+  }
+
   test("index verb: embeddings parquet → committed searchable index; query retrieves") {
     val work = Files.createTempDirectory("cli-index")
     val txt = work.resolve("input.txt")
