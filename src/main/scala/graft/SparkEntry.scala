@@ -140,6 +140,16 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "pdf_extract" -> ((s, dir) => {
+      // the north rule's PDF/layout-parse leg: real FlateDecode content
+      // streams — the kernel must inflate and parse the text-showing
+      // operators from the BYTES, while the oracle reads the
+      // generation-time truth columns of the committed corpus
+      val pdfs = s.read.parquet(s"$goldenDir/pdfs.parquet")
+        .select(col("id"), col("payload"))
+      graft.extract.PdfExtract.extractPdfs(pdfs).orderBy(col("id"))
+    }),
+
     "chunk_documents" -> ((s, dir) => {
       // sentence-preserving chunker (bit-parity with the reference, see
       // ChunkerSpec) + the reference's full per-chunk metadata
@@ -613,6 +623,10 @@ object SparkEntry {
     "dedup_simhash" ->
       (s"SELECT id_a, id_b, hamming FROM read_parquet('$goldenDir/simhash_sf001.parquet') " +
         "ORDER BY id_a, id_b"),
+
+    "pdf_extract" ->
+      (s"SELECT id, true_pages AS n_pages, true_text AS text, true AS valid " +
+        s"FROM read_parquet('$goldenDir/pdfs.parquet') ORDER BY id"),
 
     // golden-parquet oracles: frozen expected outputs of the spec'd
     // kernels at sf0.01 (the kernels themselves are additionally pinned

@@ -103,13 +103,19 @@ object GoldenGen {
       graft.ops.Similarity.centroidsToLines(centroids)
         .getBytes(StandardCharsets.UTF_8))
 
+    val pdfs = spark.range(0, 1000).as[Long].map { id =>
+      val (payload, text, np) = graft.extract.PdfExtract.goldenPdf(id)
+      (id, payload, text, np)
+    }.toDF("id", "payload", "true_text", "true_pages")
+    writeSingleParquet(pdfs, dir.resolve("pdfs.parquet"))
+
     val media = spark.range(0, 2500).as[Long].map { id =>
       val (payload, w, h, ch) = graft.ops.Multimodal.goldenMedia(id)
       (id, payload, "image", w, h, ch)
     }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
     writeSingleParquet(media, dir.resolve("media.parquet"))
 
-    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, simhash_sf001, media")
+    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, simhash_sf001, pdfs, media")
     spark.stop()
   }
 
