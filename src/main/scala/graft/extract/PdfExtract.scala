@@ -120,13 +120,29 @@ object PdfExtract {
     } catch { case _: Exception => null }
   }
 
-  /** Text-showing operators of one content stream. */
+  /** Text-showing operators of one content stream, emitted in READING
+    * ORDER (layout parse): the text-positioning operators (Td/TD/Tm/T*)
+    * are interpreted to give every shown segment a page position, and
+    * segments sort top-to-bottom then left-to-right — so a stream that
+    * draws its blocks out of document order (footers first, absolutely
+    * positioned blocks) still yields the human reading order. Rotation/
+    * scaling text matrices are treated as translations (the crawl-PDF
+    * common case); ties keep stream order.
+    */
   private def textFromContent(data: Array[Byte]): String = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
-    val segments = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (y, x, seq, text)
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int, String)]
     val arrayBuf = new java.lang.StringBuilder
+    val operands = new Array[Double](8)
+    var nOps = 0
     var inArray = false
     var lastString: String = null
+    var lineX = 0.0
+    var lineY = 0.0
+    var leading = 0.0
+    def show(text: String): Unit =
+      if (text != null) segments += ((lineY, lineX, segments.length, text))
     var i = 0
     val n = s.length
     while (i < n) {
@@ -142,16 +158,52 @@ object PdfExtract {
       } else if (isRegular(c)) {
         val st = i
         while (i < n && isRegular(s.charAt(i))) i += 1
-        s.substring(st, i) match {
-          case "Tj" | "'" | "\"" =>
-            if (lastString != null) { segments += lastString; lastString = null }
+        val tok = s.substring(st, i)
+        tok match {
+          case "Tj" =>
+            show(lastString); lastString = null; nOps = 0
+          case "'" =>
+            lineY -= leading // ' moves to the next line, then shows
+            show(lastString); lastString = null; nOps = 0
+          case "\"" =>
+            lineY -= leading
+            show(lastString); lastString = null; nOps = 0
           case "TJ" =>
-            if (arrayBuf.length() > 0) { segments += arrayBuf.toString; arrayBuf.setLength(0) }
-          case _ => ()
+            if (arrayBuf.length() > 0) { show(arrayBuf.toString); arrayBuf.setLength(0) }
+            nOps = 0
+          case "Td" =>
+            if (nOps >= 2) { lineX += operands(nOps - 2); lineY += operands(nOps - 1) }
+            nOps = 0
+          case "TD" =>
+            if (nOps >= 2) {
+              leading = -operands(nOps - 1)
+              lineX += operands(nOps - 2); lineY += operands(nOps - 1)
+            }
+            nOps = 0
+          case "Tm" =>
+            if (nOps >= 6) { lineX = operands(nOps - 2); lineY = operands(nOps - 1) }
+            nOps = 0
+          case "TL" =>
+            if (nOps >= 1) leading = operands(nOps - 1)
+            nOps = 0
+          case "T*" =>
+            lineY -= leading; nOps = 0
+          case "BT" =>
+            lineX = 0.0; lineY = 0.0; nOps = 0
+          case _ =>
+            // a numeric operand, or an operator we don't track
+            val first = tok.charAt(0)
+            if (first == '-' || first == '+' || first == '.' || (first >= '0' && first <= '9')) {
+              try {
+                if (nOps == operands.length) nOps = 0 // overflow: reset
+                operands(nOps) = tok.toDouble; nOps += 1
+              } catch { case _: NumberFormatException => nOps = 0 }
+            } else nOps = 0
         }
       } else i += 1
     }
-    segments.mkString("\n")
+    segments.sortBy { case (y, x, seq, _) => (-y, x, seq) }
+      .map(_._4).mkString("\n")
   }
 
   private def isRegular(c: Char): Boolean =
@@ -220,8 +272,12 @@ object PdfExtract {
 
   /** A minimal structurally-valid PDF (catalog, page tree, font, one
     * content stream per page with Tj line shows, xref, trailer).
+    * `outOfOrderDraw` emits each page's lines in REVERSED stream order
+    * at absolutely-positioned Tm coordinates — the layout-parse case:
+    * reading order must be recovered from positions, not draw order.
     */
-  def makePdf(pages: Seq[Seq[String]], compress: Boolean): Array[Byte] = {
+  def makePdf(pages: Seq[Seq[String]], compress: Boolean,
+      outOfOrderDraw: Boolean = false): Array[Byte] = {
     val objs = scala.collection.mutable.ArrayBuffer.empty[String]
     val nPages = pages.length
     val fontObjNum = 3 + 2 * nPages
@@ -229,10 +285,18 @@ object PdfExtract {
     objs += s"<< /Type /Catalog /Pages 2 0 R >>"
     objs += s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
     val contentStreams = pages.map { lines =>
-      val body = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
-      lines.zipWithIndex.foreach { case (line, li) =>
-        if (li > 0) body.append("0 -14 Td\n")
-        body.append("(").append(esc(line)).append(") Tj\n")
+      val body = new StringBuilder("BT /F1 12 Tf\n")
+      if (outOfOrderDraw) {
+        lines.zipWithIndex.reverse.foreach { case (line, li) =>
+          body.append(s"1 0 0 1 72 ${720 - 14 * li} Tm\n")
+          body.append("(").append(esc(line)).append(") Tj\n")
+        }
+      } else {
+        body.append("72 720 Td\n")
+        lines.zipWithIndex.foreach { case (line, li) =>
+          if (li > 0) body.append("0 -14 Td\n")
+          body.append("(").append(esc(line)).append(") Tj\n")
+        }
       }
       body.append("ET\n")
       body.toString.getBytes(StandardCharsets.ISO_8859_1)
@@ -304,7 +368,10 @@ object PdfExtract {
           .mkString(" ")
       }
     }
-    val payload = makePdf(pages, compress = id % 2 == 0)
+    // a third of the corpus draws lines in reversed stream order at
+    // absolute positions — reading order must come from layout
+    val payload = makePdf(pages, compress = id % 2 == 0,
+      outOfOrderDraw = id % 3 == 1)
     val text = pages.map(_.mkString("\n")).mkString("\n\n")
     (payload, text, nPages)
   }

@@ -27,6 +27,17 @@ class PdfSpec extends AnyFunSuite {
     assert(r.text == """a (nested) \ backslash""" + "\nline)with(parens")
   }
 
+  test("layout parse: out-of-order draws recover reading order from positions") {
+    val pages = Seq(Seq("first line", "second line", "third line"),
+      Seq("page two alpha", "page two beta"))
+    val pdf = PdfExtract.makePdf(pages, compress = true, outOfOrderDraw = true)
+    val r = PdfExtract.extract(pdf)
+    assert(r.valid && r.n_pages == 2)
+    // the stream draws third/second/first — reading order must win
+    assert(r.text ==
+      "first line\nsecond line\nthird line\n\npage two alpha\npage two beta")
+  }
+
   test("garbage and truncation are data, never exceptions") {
     assert(!PdfExtract.extract(null).valid)
     assert(!PdfExtract.extract(Array[Byte](1, 2, 3)).valid)
