@@ -387,6 +387,14 @@ object SparkEntry {
     }),
 
     // ---------------- multimodal ----------------
+    "multimodal_av" -> ((s, dir) => {
+      // real WAV/MP4 container headers: channels, sample rate, duration
+      // and track count derived from the BYTES; truth columns oracled
+      val media = s.read.parquet(s"$goldenDir/media_av.parquet")
+        .select(col("id"), col("payload"))
+      graft.ops.Multimodal.decodeAv(media).orderBy(col("id"))
+    }),
+
     "multimodal_decode" -> ((s, dir) => {
       // committed real-format media corpus (tiny but structurally valid
       // PNG/GIF/JPEG payloads): the kernel derives dimensions/channels
@@ -642,6 +650,12 @@ object SparkEntry {
       ("SELECT url, strategy_used, succeeded, partial, text_len, title, failure_reason " +
         s"FROM read_parquet('$goldenDir/cascade_sf001.parquet') " +
         "ORDER BY url"),
+
+    "multimodal_av" ->
+      (s"SELECT id, true_kind AS kind, true_channels AS channels, " +
+        "true_sample_rate AS sample_rate, true_duration_ms AS duration_ms, " +
+        "true_tracks AS n_tracks, true AS valid " +
+        s"FROM read_parquet('$goldenDir/media_av.parquet') ORDER BY id"),
 
     "multimodal_decode" ->
       s"""WITH m AS (SELECT * FROM read_parquet('$goldenDir/media.parquet')),

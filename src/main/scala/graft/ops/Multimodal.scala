@@ -144,6 +144,182 @@ object Multimodal {
     MediaMeta(kind, w, h, c, pl, valid = bytes.length >= 18 + pl)
   }
 
+  // ---- real audio/video container headers (pure JVM, no codec) ----
+
+  /** Audio/video container metadata parsed from real headers:
+    * WAV (RIFF chunks → channels/sample-rate/duration) and MP4
+    * (ISO-BMFF box walk → mvhd timescale/duration, trak count).
+    */
+  final case class AvMeta(kind: String, channels: Int, sample_rate: Int,
+      duration_ms: Long, n_tracks: Int, valid: Boolean)
+
+  def decodeAvMeta(bytes: Array[Byte]): AvMeta = {
+    try {
+      if (bytes == null || bytes.length < 12)
+        AvMeta("unknown", 0, 0, 0L, 0, valid = false)
+      else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        decodeWav(bytes)
+      else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+        decodeMp4(bytes)
+      else AvMeta("unknown", 0, 0, 0L, 0, valid = false)
+    } catch {
+      case _: Exception => AvMeta("unknown", 0, 0, 0L, 0, valid = false)
+    }
+  }
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** WAV: walk RIFF chunks for `fmt ` (channels, sample rate, bits) and
+    * `data` (payload size → sample count → duration).
+    */
+  private def decodeWav(b: Array[Byte]): AvMeta = {
+    var channels = 0
+    var sampleRate = 0
+    var bitsPerSample = 16
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = leU32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = leU16(b, i + 10)
+        sampleRate = leU32(b, i + 12).toInt
+        if (i + 8 + size >= i + 24) bitsPerSample = leU16(b, i + 22)
+      } else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || dataLen < 0)
+      return AvMeta("audio", channels, sampleRate, 0L, 1, valid = false)
+    val bytesPerSample = math.max(1, bitsPerSample / 8) * channels
+    val nSamples = dataLen / bytesPerSample
+    AvMeta("audio", channels, sampleRate, nSamples * 1000L / sampleRate, 1,
+      valid = true)
+  }
+
+  /** MP4 (ISO-BMFF): walk the top-level boxes to `moov`, read `mvhd`
+    * (v0: timescale u32 / duration u32 at offsets 12/16 of the box
+    * body; v1: u32 timescale at 20, u64 duration at 24) and count
+    * `trak` children.
+    */
+  private def decodeMp4(b: Array[Byte]): AvMeta = {
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = beU32(b, i)
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      if (size < 8) return AvMeta("video", 0, 0, 0L, tracks, valid = false)
+      if (typ == "moov") {
+        var j = i + 8
+        val end = math.min(b.length, i + size.toInt)
+        while (j + 8 <= end) {
+          val s2 = beU32(b, j)
+          val t2 = new String(b, j + 4, 4, "US-ASCII")
+          if (s2 < 8) return AvMeta("video", 0, 0, 0L, tracks, valid = false)
+          if (t2 == "mvhd" && j + 8 < end) {
+            val version = b(j + 8) & 0xff
+            if (version == 0 && j + 24 <= end) {
+              timescale = beU32(b, j + 20)
+              duration = beU32(b, j + 24)
+            } else if (version == 1 && j + 36 <= end) {
+              timescale = beU32(b, j + 28)
+              duration = (beU32(b, j + 32) << 32) | beU32(b, j + 36)
+            }
+          } else if (t2 == "trak") tracks += 1
+          j += s2.toInt
+        }
+      }
+      i += size.toInt
+    }
+    if (timescale <= 0 || duration < 0)
+      AvMeta("video", 0, 0, 0L, tracks, valid = false)
+    else AvMeta("video", 0, 0, duration * 1000L / timescale, tracks, valid = true)
+  }
+
+  /** Minimal valid WAV with deterministic silence payload. */
+  def makeWav(channels: Int, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { bb.put(((i * 31) & 0xff).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0 + `nTracks` trak stubs). */
+  def makeMp4(timescale: Int, duration: Int, nTracks: Int): Array[Byte] = {
+    val ftyp = java.nio.ByteBuffer.allocate(20)
+    ftyp.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+      .put("mp41".getBytes("US-ASCII"))
+    val mvhd = java.nio.ByteBuffer.allocate(108)
+    mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification
+      .putInt(timescale).putInt(duration)
+    // rate/volume/reserved/matrix/predefined/nextTrack: zero-filled
+    val trak = java.nio.ByteBuffer.allocate(16)
+    trak.putInt(16).put("trak".getBytes("US-ASCII"))
+      .putInt(8).put("free".getBytes("US-ASCII"))
+    val moovLen = 8 + 108 + 16 * nTracks
+    val out = java.nio.ByteBuffer.allocate(20 + moovLen)
+    out.put(ftyp.array())
+    out.putInt(moovLen).put("moov".getBytes("US-ASCII"))
+    out.put(mvhd.array())
+    var t = 0
+    while (t < nTracks) { out.put(trak.array()); t += 1 }
+    out.array()
+  }
+
+  /** Deterministic audio/video corpus row: WAV for even ids, MP4 for
+    * odd. Returns (payload, kind, channels, sample_rate, duration_ms,
+    * n_tracks).
+    */
+  def goldenAv(id: Long): (Array[Byte], String, Int, Int, Long, Int) = {
+    var h = id * 0xc2b2ae3d27d4eb4fL
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    if (id % 2 == 0) {
+      val channels = 1 + Math.floorMod(h, 2L).toInt
+      val rate = Array(8000, 16000, 22050, 44100)(Math.floorMod(h >> 8, 4L).toInt)
+      val nSamples = 500 + Math.floorMod(h >> 16, 3500L).toInt
+      (makeWav(channels, rate, nSamples), "audio", channels, rate,
+        nSamples.toLong * 1000L / rate, 1)
+    } else {
+      val timescale = Array(600, 1000, 90000)(Math.floorMod(h, 3L).toInt)
+      val duration = (timescale * (1 + Math.floorMod(h >> 8, 300L))).toInt
+      val tracks = 1 + Math.floorMod(h >> 24, 3L).toInt
+      (makeMp4(timescale, duration, tracks), "video", 0, 0,
+        duration.toLong * 1000L / timescale, tracks)
+    }
+  }
+
+  /** media(id, payload BINARY) → audio/video metadata columns. */
+  def decodeAv(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = decodeAvMeta(bytes)
+        (id, m.kind, m.channels, m.sample_rate, m.duration_ms, m.n_tracks, m.valid)
+      })
+      .toDF("id", "kind", "channels", "sample_rate", "duration_ms", "n_tracks", "valid")
+  }
+
   // ---- deterministic real-format encoders (golden/test data) ----
 
   /** Minimal structurally-valid PNG: signature + IHDR (real CRC32) +

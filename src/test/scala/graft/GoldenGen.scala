@@ -115,6 +115,13 @@ object GoldenGen {
     }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
     writeSingleParquet(media, dir.resolve("media.parquet"))
 
+    val av = spark.range(0, 1500).as[Long].map { id =>
+      val (payload, kind, ch, sr, dur, tracks) = graft.ops.Multimodal.goldenAv(id)
+      (id, payload, kind, ch, sr, dur, tracks)
+    }.toDF("id", "payload", "true_kind", "true_channels", "true_sample_rate",
+      "true_duration_ms", "true_tracks")
+    writeSingleParquet(av, dir.resolve("media_av.parquet"))
+
     println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, simhash_sf001, pdfs, media")
     spark.stop()
   }

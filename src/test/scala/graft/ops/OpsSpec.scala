@@ -197,6 +197,27 @@ class OpsSpec extends AnyFunSuite {
       assert(!Multimodal.decodeMeta(payload).valid)
   }
 
+  test("real audio/video container headers: WAV and MP4 round-trips") {
+    val w = Multimodal.decodeAvMeta(Multimodal.makeWav(2, 44100, 44100))
+    assert(w.valid && w.kind == "audio")
+    assert(w.channels == 2 && w.sample_rate == 44100 && w.duration_ms == 1000)
+    val m = Multimodal.decodeAvMeta(Multimodal.makeMp4(600, 1800, 2))
+    assert(m.valid && m.kind == "video")
+    assert(m.duration_ms == 3000 && m.n_tracks == 2)
+    // garbage/truncation → invalid rows, never exceptions
+    assert(!Multimodal.decodeAvMeta(Array[Byte](1, 2, 3)).valid)
+    assert(!Multimodal.decodeAvMeta(Multimodal.makeWav(1, 8000, 100).take(20)).valid)
+    assert(!Multimodal.decodeAvMeta(Multimodal.makeMp4(600, 600, 1).take(25)).valid)
+    // corpus: deterministic, kernel re-derives the truth columns
+    (0L until 200L).foreach { id =>
+      val (payload, kind, ch, sr, dur, tracks) = Multimodal.goldenAv(id)
+      val r = Multimodal.decodeAvMeta(payload)
+      assert(r.valid, s"id=$id")
+      assert((r.kind, r.channels, r.sample_rate, r.duration_ms, r.n_tracks) ==
+        ((kind, ch, sr, dur, tracks)), s"id=$id")
+    }
+  }
+
   test("goldenMedia corpus: deterministic, kernel re-derives the truth columns") {
     val rows = (0L until 300L).map { id =>
       val (payload, w, h, ch) = Multimodal.goldenMedia(id)
