@@ -1,6 +1,5 @@
 package graft.jobs
 
-import graft.extract.CascadeConfig
 import graft.table.{IcebergLite, SyntheticPages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   graft.jobs.Cli info
-  *   graft.jobs.Cli extract   <pagesParquet|synth:N> <outTable> [--min-length N] [--units N]
+  *   graft.jobs.Cli extract   <pagesParquet|synth:N> <outTable> [--min-length N] [--units N] [--extractors a,b,c]
   *   graft.jobs.Cli embed     <textFile|chunksParquet> <outParquet> [--chunk-size N] [--chunk-overlap N]
   *   graft.jobs.Cli index     <embeddingsParquet> <indexTable> [--dim N]
   *   graft.jobs.Cli build_rag <pagesParquet|synth:N> <indexTable>
@@ -58,10 +57,22 @@ object Cli {
         val spark = session(cpus)
         val pages = loadPages(spark, args(1))
         val out = new IcebergLite(args(2))
-        val minLen = opt(args, "--min-length").map(_.toInt).getOrElse(200)
         val units = opt(args, "--units").map(_.toInt).getOrElse(8)
+        // CLI flags become runtime overrides on the layered config —
+        // the reference's default <- env <- runtime precedence
+        // (core/utils/config.py) driving the cascade, incl. the
+        // config-ordered extractor list (--extractors http,readability)
+        val pipelineOverrides: Map[String, Any] =
+          opt(args, "--min-length").map(v =>
+            Map[String, Any]("minimum_content_length" -> v.toInt)).getOrElse(Map()) ++
+          opt(args, "--extractors").map(v =>
+            Map[String, Any]("extractors" -> v.split(",").toSeq)).getOrElse(Map())
+        val resolved = graft.util.ScragConfig.resolve(
+          runtimeOverrides =
+            if (pipelineOverrides.isEmpty) Map.empty
+            else Map("pipeline" -> pipelineOverrides))
         val cfg = ExtractJobConfig(nUnits = units, partitionsPerUnit = cpus.toInt,
-          cascade = CascadeConfig(minContentLength = minLen))
+          cascade = graft.util.ScragConfig.cascadeConfig(resolved))
         // Stage the input ONCE, hive-partitioned by unit, so each unit's
         // run reads only its own files (partition pruning on the path) —
         // never cache() a table whose design point is 100 TB of html.

@@ -48,6 +48,21 @@ class CliSpec extends AnyFunSuite {
     assert(staged.listFiles().map(_.getName).count(_.startsWith("unit=")) == 2)
   }
 
+  test("extract verb: --extractors reorders the cascade through the layered config") {
+    val work = Files.createTempDirectory("cli-extract-cfg")
+    val out = work.resolve("table").toString
+    Cli.main(Array("extract", "synth:100", out,
+      "--extractors", "http", "--min-length", "10"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val strategies = new graft.table.IcebergLite(out).read(spark)
+      .where(col("succeeded"))
+      .select("strategy_used").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(strategies == Set("http"), s"config-ordered cascade ignored: $strategies")
+  }
+
   test("index verb: embeddings parquet → committed searchable index; query retrieves") {
     val work = Files.createTempDirectory("cli-index")
     val txt = work.resolve("input.txt")
