@@ -517,10 +517,15 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_json" ->
+      // json_extract_string (not json_extract) + explicit outer BIGINT casts:
+      // json_extract returns a JSON-typed value and sum() of it promotes to
+      // HUGEINT, both of which canonicalize differently across DuckDB
+      // versions (the round-2 driver red row). VARCHAR -> BIGINT -> BIGINT
+      // is stable everywhere.
       """SELECT event_type, count(*) AS n,
-        |sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
-        |min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+        |max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rag_topk" ->

@@ -82,8 +82,17 @@ object Cli {
         pages.withColumn("unit",
             pmod(xxhash64(col("url")), lit(units)).cast("int"))
           .write.mode("overwrite").partitionBy("unit").parquet(staged)
+        // hive partitionBy writes no directory for an empty unit (small
+        // inputs / large --units) — treat a missing path as zero rows
+        // rather than letting the read throw
+        val pagesSchema = pages.schema
         val ran = ExtractJob.runUnits(spark,
-          u => spark.read.parquet(s"$staged/unit=$u"), out, cfg)
+          u => {
+            val unitPath = s"$staged/unit=$u"
+            if (new java.io.File(unitPath).isDirectory) spark.read.parquet(unitPath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pagesSchema)
+          }, out, cfg)
         val rows = out.read(spark).count()
         val okRows = out.read(spark).where(col("succeeded")).count()
         println(s"extract: units_run=${ran.size} rows=$rows succeeded=$okRows " +
@@ -104,9 +113,11 @@ object Cli {
           if (in.endsWith(".parquet") || new java.io.File(in).isDirectory) {
             val df = spark.read.parquet(in) // pre-chunked path
             if (df.columns.contains("chunk_index")) df
-            else df.withColumn("chunk_index",
-              row_number().over(org.apache.spark.sql.expressions.Window
-                .orderBy(col("chunk_text"))).cast("int") - 1)
+            // no index column: synthesize a distributed unique id — a
+            // global Window.orderBy here would single-partition-sort the
+            // whole input, the textbook scale-killer on the one path
+            // meant for arbitrary pre-chunked tables
+            else df.withColumn("chunk_index", monotonically_increasing_id())
           } else {
             val content = new String(
               java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(in)), "UTF-8")
@@ -116,8 +127,11 @@ object Cli {
               .toDF("chunk_index", "chunk_text")
           }
         val embedder = new graft.rag.DeterministicHashEmbedder()
-        val embedded = chunks.select(col("chunk_index").cast("int"), col("chunk_text"))
-          .as[(Int, String)]
+        // chunk_index is LONG: monotonically_increasing_id packs the
+        // partition id into the high bits, so an int cast would collide
+        // past 4 partitions
+        val embedded = chunks.select(col("chunk_index").cast("long"), col("chunk_text"))
+          .as[(Long, String)]
           .mapPartitions { it =>
             it.grouped(100).flatMap { batch => // reference batching (100)
               batch.iterator.zip(embedder.embedBatch(batch.map(_._2)).iterator)

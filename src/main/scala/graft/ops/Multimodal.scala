@@ -180,16 +180,21 @@ object Multimodal {
     var sampleRate = 0
     var bitsPerSample = 16
     var dataLen = -1L
-    var i = 12
+    // Offsets walked in Long arithmetic: leU32 is unsigned, so the word-
+    // aligned step 8+size+(size&1) is always >= 8 and the walk provably
+    // terminates. (Int truncation here once let a corrupt size of
+    // 0xFFFFFFF8 produce a zero step and wedge the task forever.)
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = leU32(b, i + 4)
-      if (id == "fmt " && i + 24 <= b.length) {
-        channels = leU16(b, i + 10)
-        sampleRate = leU32(b, i + 12).toInt
-        if (i + 8 + size >= i + 24) bitsPerSample = leU16(b, i + 22)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val size = leU32(b, ii + 4)
+      if (id == "fmt " && ii + 24 <= b.length) {
+        channels = leU16(b, ii + 10)
+        sampleRate = leU32(b, ii + 12).toInt
+        if (size >= 16) bitsPerSample = leU16(b, ii + 22)
       } else if (id == "data") dataLen = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || sampleRate <= 0 || dataLen < 0)
       return AvMeta("audio", channels, sampleRate, 0L, 1, valid = false)
@@ -208,32 +213,38 @@ object Multimodal {
     var timescale = 0L
     var duration = -1L
     var tracks = 0
-    var i = 0
+    // Box offsets in Long arithmetic with an explicit size >= 8 gate at
+    // both nesting levels: beU32 is unsigned, so every accepted step
+    // advances by >= 8 and both walks provably terminate (no reliance on
+    // a truncated negative index throwing).
+    var i = 0L
     while (i + 8 <= b.length) {
-      val size = beU32(b, i)
-      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val ii = i.toInt
+      val size = beU32(b, ii)
+      val typ = new String(b, ii + 4, 4, "US-ASCII")
       if (size < 8) return AvMeta("video", 0, 0, 0L, tracks, valid = false)
       if (typ == "moov") {
         var j = i + 8
-        val end = math.min(b.length, i + size.toInt)
+        val end = math.min(b.length.toLong, i + size)
         while (j + 8 <= end) {
-          val s2 = beU32(b, j)
-          val t2 = new String(b, j + 4, 4, "US-ASCII")
+          val jj = j.toInt
+          val s2 = beU32(b, jj)
+          val t2 = new String(b, jj + 4, 4, "US-ASCII")
           if (s2 < 8) return AvMeta("video", 0, 0, 0L, tracks, valid = false)
           if (t2 == "mvhd" && j + 8 < end) {
-            val version = b(j + 8) & 0xff
+            val version = b(jj + 8) & 0xff
             if (version == 0 && j + 24 <= end) {
-              timescale = beU32(b, j + 20)
-              duration = beU32(b, j + 24)
+              timescale = beU32(b, jj + 20)
+              duration = beU32(b, jj + 24)
             } else if (version == 1 && j + 36 <= end) {
-              timescale = beU32(b, j + 28)
-              duration = (beU32(b, j + 32) << 32) | beU32(b, j + 36)
+              timescale = beU32(b, jj + 28)
+              duration = (beU32(b, jj + 32) << 32) | beU32(b, jj + 36)
             }
           } else if (t2 == "trak") tracks += 1
-          j += s2.toInt
+          j += s2
         }
       }
-      i += size.toInt
+      i += size
     }
     if (timescale <= 0 || duration < 0)
       AvMeta("video", 0, 0, 0L, tracks, valid = false)

@@ -103,21 +103,34 @@ object Similarity {
       bits: Int = 8, tables: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sigs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    // Stage 1 — bucket WITHOUT the embedding: the posexplode and the
+    // self-join exchange carry only (vec_id, table, bucket) triples
+    // (~20 bytes/row), never the vector. At 100 TB of embeddings this is
+    // the difference between shuffling `tables`× the corpus and shuffling
+    // a key table.
+    val buckets = vecs
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) =>
-        (id, v, tableSignatures(v, bits, tables))
-      })
-      .toDF("vec_id", "embedding", "sigs")
-    val buckets = sigs.select(col("vec_id"), col("embedding"),
-      posexplode(col("sigs")).as(Seq("table", "bucket")))
-    buckets.as("a").join(buckets.as("b"),
+      .mapPartitions(_.map { case (id, v) => (id, tableSignatures(v, bits, tables)) })
+      .toDF("vec_id", "sigs")
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
+    // Stage 2 — distinct candidate id pairs (a pair colliding in several
+    // tables verifies once).
+    val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        graft.functions.VectorExpr
-          .cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    // Stage 3 — exact-cosine verify: join the embeddings back onto the
+    // (small) candidate set only — the same re-join shape Dedup.verifyJaccard
+    // uses for texts.
+    candidates
+      .join(vecs.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("embedding", "emb_a"), "id_a")
+      .join(vecs.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("embedding", "emb_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpr.cosineSim(col("emb_a"), col("emb_b")).as("c"))
       .where(col("c") >= threshold)
       .withColumn("cos_bp", floor(col("c") * 10000).cast("long"))
       .select("id_a", "id_b", "cos_bp")

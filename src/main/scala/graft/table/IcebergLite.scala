@@ -38,17 +38,35 @@ final class IcebergLite(val root: String) extends Serializable {
   private def manifestDir = new Path(s"$root/manifest")
   private def manifestPath(unit: Int, version: Int) =
     new Path(s"$root/manifest/unit-$unit-v$version.json")
+  private def legacyManifestPath(unit: Int) =
+    new Path(s"$root/manifest/unit-$unit.json")
 
-  /** (unit, version) pairs parsed from manifest filenames. */
+  /** Filesystem path of a parsed (unit, version) entry — version 0 may
+    * be a legacy unversioned filename.
+    */
+  private def entryPath(f: FileSystem, unit: Int, version: Int): Path = {
+    val p = manifestPath(unit, version)
+    if (version == 0 && !f.exists(p)) legacyManifestPath(unit) else p
+  }
+
+  /** (unit, version) pairs parsed from manifest filenames. A legacy
+    * unversioned `unit-<u>.json` (written before manifests were
+    * versioned) reads as version 0, so pre-upgrade tables stay
+    * committed and resumable; the next publish writes v1 and retires
+    * the legacy file through the normal superseded-version sweep.
+    */
   private def manifestEntries(f: FileSystem): Seq[(Int, Int)] = {
     if (!f.exists(manifestDir)) return Seq.empty
     f.listStatus(manifestDir).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("unit-") && n.endsWith(".json") &&
-          n.contains("-v") =>
-        val core = n.stripPrefix("unit-").stripSuffix(".json")
-        val cut = core.lastIndexOf("-v")
-        (core.substring(0, cut).toInt, core.substring(cut + 2).toInt)
+      .collect {
+        case n if n.startsWith("unit-") && n.endsWith(".json") && n.contains("-v") =>
+          val core = n.stripPrefix("unit-").stripSuffix(".json")
+          val cut = core.lastIndexOf("-v")
+          (core.substring(0, cut).toInt, core.substring(cut + 2).toInt)
+        case n if n.startsWith("unit-") && n.endsWith(".json") &&
+            n.stripPrefix("unit-").stripSuffix(".json").forall(_.isDigit) =>
+          (n.stripPrefix("unit-").stripSuffix(".json").toInt, 0)
       }
   }
 
@@ -106,9 +124,10 @@ final class IcebergLite(val root: String) extends Serializable {
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
     f.rename(tmp, manifestPath(unit, next)) // atomic commit of v(next)
-    // retire superseded versions only after the new one is visible
+    // retire superseded versions (incl. a legacy unversioned file) only
+    // after the new one is visible
     manifestEntries(f).filter { case (u, v) => u == unit && v < next }
-      .foreach { case (u, v) => f.delete(manifestPath(u, v), false) }
+      .foreach { case (u, v) => f.delete(entryPath(f, u, v), false) }
   }
 
   /** Read the committed table (only units with manifest entries). */
@@ -124,8 +143,9 @@ final class IcebergLite(val root: String) extends Serializable {
     * latest version per unit.
     */
   def manifest(spark: SparkSession): DataFrame = {
-    val latest = latestVersions(fs(spark)).toSeq.sorted
-      .map { case (u, v) => manifestPath(u, v).toString }
+    val f = fs(spark)
+    val latest = latestVersions(f).toSeq.sorted
+      .map { case (u, v) => entryPath(f, u, v).toString }
     require(latest.nonEmpty, s"no committed units under $root")
     spark.read.json(latest: _*)
   }

@@ -131,6 +131,51 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("neardup_lsh bucket exchange carries ids only, never the embedding") {
+    // the LSH self-join must shuffle (vec_id, table, bucket) triples;
+    // if the embedding column rides through the bucket exchange the
+    // shuffle volume multiplies by `tables` at 100 TB
+    // force the shuffle path (at sf0.001 the bucket join broadcasts,
+    // leaving nothing to inspect — at scale it shuffles) and disable AQE
+    // (AdaptiveSparkPlanExec hides the exchanges from plan.collect)
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val plan = graft.ops.Similarity.lshNearDupPairs(emb, threshold = 0.9)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      val bucketExchanges = exchanges.filter(_.output.exists(_.name == "bucket"))
+      assert(bucketExchanges.nonEmpty, plan.toString)
+      bucketExchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("emb")),
+          s"bucket exchange carries an embedding column: ${e.output.map(_.name).mkString(", ")}")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("no CartesianProduct in any driver query plan (sweep)") {
+    // neardup_cosine is the labeled brute-force oracle path — the one
+    // intentional cross join; every other query must plan cartesian-free
+    val allowed = Set("neardup_cosine")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allowed(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

@@ -33,6 +33,33 @@ class CliSpec extends AnyFunSuite {
     assert(df.where(size(col("embedding")) =!= 384).count() == 0)
   }
 
+  test("embed verb: pre-chunked parquet without chunk_index gets a distributed id (no global sort)") {
+    val work = Files.createTempDirectory("cli-embed-prechunked")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val in = work.resolve("chunks_in").toString
+    (1 to 200).map(i => s"pre-chunked text body number $i")
+      .toDF("chunk_text").repartition(4)
+      .write.parquet(in)
+    val out = work.resolve("emb_out").toString
+    Cli.main(Array("embed", in, out))
+    val spark2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val df = spark2.read.parquet(out)
+    assert(df.count() == 200)
+    // ids must be unique across partitions (monotonically_increasing_id,
+    // kept as long — an int cast would collide past 4 partitions)
+    assert(df.select("chunk_index").distinct().count() == 200)
+    // and the synthesized-id plan must not single-partition sort the
+    // input: no Window/global Sort, no SinglePartition exchange
+    val probe = spark2.read.parquet(in)
+      .withColumn("chunk_index",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"), plan)
+  }
+
   test("extract verb: cache-free staged input, unit-partitioned resume table") {
     val work = Files.createTempDirectory("cli-extract")
     val out = work.resolve("table").toString
@@ -46,6 +73,19 @@ class CliSpec extends AnyFunSuite {
     // reads only its own files — no full-table cache)
     val staged = new java.io.File(s"$out/_staged_pages")
     assert(staged.listFiles().map(_.getName).count(_.startsWith("unit=")) == 2)
+  }
+
+  test("extract verb: empty units (xxhash mod leaves gaps) commit zero rows, not a crash") {
+    // 3 pages over 8 units → at least 5 units have no hive directory;
+    // each must read as empty and still commit for idempotent resume
+    val work = Files.createTempDirectory("cli-extract-empty")
+    val out = work.resolve("table").toString
+    Cli.main(Array("extract", "synth:3", out, "--units", "8"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val t = new graft.table.IcebergLite(out)
+    assert(t.committedUnits(spark) == (0 until 8))
+    assert(t.read(spark).count() == 3)
   }
 
   test("extract verb: --extractors reorders the cascade through the layered config") {

@@ -107,6 +107,30 @@ class ExtractJobSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("legacy unversioned manifests read as committed (version 0) and retire on republish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-legacy").toString
+    val t = new IcebergLite(dir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // simulate a pre-upgrade table: data + a legacy `unit-0.json` manifest
+    t.writeData(df, 0)
+    val legacy = new java.io.File(s"$dir/manifest")
+    legacy.mkdirs()
+    Files.writeString(legacy.toPath.resolve("unit-0.json"),
+      """{"unit": "0", "rows": "2"}""")
+    assert(t.isCommitted(spark, 0), "legacy manifest must read as committed")
+    assert(t.committedUnits(spark) == Seq(0))
+    assert(t.read(spark).count() == 2)
+    assert(t.manifest(spark).select("rows").collect()(0).getString(0) == "2")
+    // republish writes v1 and retires the legacy file
+    t.publish(spark, 0, Map("rows" -> "2"))
+    assert(t.isCommitted(spark, 0))
+    assert(!Files.exists(legacy.toPath.resolve("unit-0.json")),
+      "legacy manifest not retired after republish")
+    assert(t.manifest(spark).count() == 1)
+    t.drop(spark)
+  }
+
   test("host-grouped mode with salting spreads the hot host") {
     import spark.implicits._
     // skew family: all rows on host-0.example

@@ -208,6 +208,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!Multimodal.decodeAvMeta(Array[Byte](1, 2, 3)).valid)
     assert(!Multimodal.decodeAvMeta(Multimodal.makeWav(1, 8000, 100).take(20)).valid)
     assert(!Multimodal.decodeAvMeta(Multimodal.makeMp4(600, 600, 1).take(25)).valid)
+    // adversarial chunk/box sizes must terminate (not wedge the task):
+    // a RIFF chunk size of 0xFFFFFFF8 once truncated to a zero step in
+    // Int arithmetic and hung the walk forever
+    def wavWithChunkSize(size: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(size.toInt)
+      bb.array()
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL, 0L))
+      assert(!Multimodal.decodeAvMeta(wavWithChunkSize(sz)).valid, s"wav size=$sz")
+    def mp4WithBoxSize(size: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24) // big-endian by default
+      bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+      bb.putInt(size.toInt).put("free".getBytes("US-ASCII"))
+      bb.array()
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 1L, 0L))
+      assert(!Multimodal.decodeAvMeta(mp4WithBoxSize(sz)).valid, s"mp4 size=$sz")
+    // moov child with a garbage size must terminate too
+    val moovBad = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+      bb.putInt(16).put("moov".getBytes("US-ASCII"))
+      bb.putInt(0xFFFFFFF8).put("trak".getBytes("US-ASCII"))
+      bb.array()
+    }
+    assert(!Multimodal.decodeAvMeta(moovBad).valid)
     // corpus: deterministic, kernel re-derives the truth columns
     (0L until 200L).foreach { id =>
       val (payload, kind, ch, sr, dur, tracks) = Multimodal.goldenAv(id)
