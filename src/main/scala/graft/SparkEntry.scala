@@ -129,6 +129,21 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    "stream_sessions" -> ((s, dir) =>
+      // stateful streaming sessionizer (flatMapGroupsWithState +
+      // event-time timeout): emitted closed sessions equal the batch
+      // sessionization restricted to sessions whose close deadline
+      // (end + gap) the final watermark (= max ts, 0s delay) strictly
+      // passed — in-batch gap closes satisfy this by construction, and
+      // the timeout flush fires exactly on it
+      graft.streaming.StreamingOps
+        .sessionizeStream(s, s"$dir/events.parquet", "se_stream_sessions")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).cast("timestamp_ntz").as("start_ts"),
+          timestamp_micros(col("end_us")).cast("timestamp_ntz").as("end_ts"),
+          col("n_events"), round(col("session_value"), 2).as("session_value"))
+        .orderBy(col("user_id"), col("start_ts"))),
+
     // ---------------- extraction tier (north rule) ----------------
     "cascade_extract" -> ((s, dir) => {
       val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
@@ -409,16 +424,26 @@ object SparkEntry {
     })
   )
 
+  /** Python-\s character class in RE2 syntax — the oracle-side twin of
+    * PyText.isPySpace. The dedup-family kernels tokenize with isPySpace
+    * (NBSP & co. split tokens — the right call for HTML-extracted text),
+    * so their oracles must split on the identical class or any document
+    * containing \xa0 flips the comparison red.
+    */
+  private val pyWs: String =
+    """[\t-\r\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"""
+
   /** Exact trigram-set jaccard pairs over documents (doc_id < 2000) —
     * the shared ground-truth CTE for the minhash miner and the greedy
     * dedup applier (mirrors Dedup.shingleHashes semantics: k=3 word
-    * shingles of the lowercased \s+ tokenization, distinct per doc,
-    * whole-text shingle for sub-k docs).
+    * shingles of the lowercased isPySpace tokenization, distinct per
+    * doc, whole-text shingle for sub-k docs).
     */
   private val exactJaccardCte: String =
-    """arrs AS (
-      |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
-      |  FROM documents WHERE doc_id < 2000),
+    s"""arrs AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(
+      |    regexp_replace(lower(text), '^$pyWs+|$pyWs+$$', '', 'g'), '$pyWs+') AS arr
+      |  FROM documents WHERE doc_id < 2000),""".stripMargin + """
       |toks AS (
       |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
       |    list_transform(range(1, len(arr) - 1),
@@ -629,10 +654,11 @@ object SparkEntry {
       (s"SELECT doc_id, fp_index, fp FROM read_parquet('$goldenDir/winnow_sf001.parquet') " +
         "ORDER BY doc_id, fp_index"),
 
-    // weakest oracle tier (regression pin, not an independent
-    // recomputation): simhash's Java-hash kernel is not SQL-expressible,
-    // so the expected pair set is frozen once; semantics are pinned by
-    // the sbt recall-vs-exact test
+    // dual derivation: simhash's Java-hash kernel is not SQL-expressible,
+    // so the golden is generated by tools/simhash_expected.py — an
+    // independent Python reimplementation (brute-force all-pairs hamming,
+    // a different algorithm from the kernel's pigeonhole block join) —
+    // and the generator fails if kernel and derivation ever diverge
     "dedup_simhash" ->
       (s"SELECT id_a, id_b, hamming FROM read_parquet('$goldenDir/simhash_sf001.parquet') " +
         "ORDER BY id_a, id_b"),
@@ -713,15 +739,37 @@ object SparkEntry {
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM e),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(ts) AS start_ts, max(ts) AS end_ts,
+        |    round(sum(value), 2) AS session_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, start_ts, end_ts, n_events, session_value
+        |FROM sess
+        |WHERE end_ts + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)
+        |ORDER BY user_id, start_ts""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash,
         |count(*) AS dup_count
         |FROM documents GROUP BY sha256(text) ORDER BY 1""".stripMargin,
 
     "dedup_jaccard" ->
-      """WITH arrs AS (
-        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
-        |  FROM documents WHERE doc_id < 2000),
+      (s"""WITH arrs AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(
+        |    regexp_replace(lower(text), '^$pyWs+|$pyWs+$$', '', 'g'), '$pyWs+') AS arr
+        |  FROM documents WHERE doc_id < 2000),""".stripMargin + """
         |toks0 AS (
         |  SELECT id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(arr)-1, 1)),
@@ -739,7 +787,7 @@ object SparkEntry {
         |  floor(inter / (sa.n + sb.n - inter) * 10000)::BIGINT AS jaccard_bp
         |FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         |WHERE inter / (sa.n + sb.n - inter) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
 
     "neardup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -5,17 +5,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-/** One event of the stateful sessionizer. */
-final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+/** One event of the stateful sessionizer. `ts` is the watermark column;
+  * `ts_us` carries full microsecond precision for the session logic
+  * (java.sql.Timestamp.getTime is ms-floored, which would both corrupt
+  * the emitted bounds and split sessions differently from the batch
+  * oracle at sub-ms gap boundaries).
+  */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+    ts_us: Long, value: Double)
 
-/** Open-session state kept per user between micro-batches. */
+/** Open-session state kept per user between micro-batches (micros). */
 final case class OpenSession(start: Long, last: Long, n: Long, value: Double)
 
-/** A closed (emitted) session. */
+/** A closed (emitted) session; bounds in epoch micros. */
 final case class SessionOut(
     user_id: Long,
-    start_ts: java.sql.Timestamp,
-    end_ts: java.sql.Timestamp,
+    start_us: Long,
+    end_us: Long,
     n_events: Long,
     session_value: Double)
 
@@ -27,13 +33,20 @@ final case class SessionOut(
   */
 object StreamingOps {
 
+  /** Memory-sink query names must be unique per start within a session
+    * (the bench runs each query twice; Verify and tests share sessions).
+    */
+  private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def unique(base: String): String = s"${base}_${nameSeq.incrementAndGet()}"
+
   /** Tumbling-window event aggregation over a parquet event stream.
     * Complete output mode + memory sink: after processAllAvailable the
     * result equals the equivalent batch GROUP BY (the oracle in
     * SparkEntry relies on this).
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
-      queryName: String = "graft_stream_events"): DataFrame = {
+      queryNameBase: String = "graft_stream_events"): DataFrame = {
+    val queryName = unique(queryNameBase)
     val srcDir = stageDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
@@ -70,24 +83,25 @@ object StreamingOps {
     * batch sessions already past the watermark deadline.
     */
   def sessionizeStream(spark: SparkSession, eventsPath: String,
-      queryName: String = "graft_stream_sessions",
+      queryNameBase: String = "graft_stream_sessions",
       gapMinutes: Int = 30): DataFrame = {
+    val queryName = unique(queryNameBase)
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000
+    val gapUs = gapMinutes * 60L * 1000000
     val srcDir = stageDir(eventsPath)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
         col("value").cast("double").as("value"))
       .as[SessionEvent]
 
     def update(userId: Long, events: Iterator[SessionEvent],
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
       def close(s: OpenSession): SessionOut =
-        SessionOut(userId, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.last), s.n, s.value)
+        SessionOut(userId, s.start, s.last, s.n, s.value)
       if (!events.hasNext) {
         // timeout invocation: watermark passed last+gap → flush
         if (state.hasTimedOut && state.exists) {
@@ -97,22 +111,26 @@ object StreamingOps {
         } else Iterator.empty
       } else {
         // micro-batch events arrive unordered; order within the batch
-        val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.value))
+        val sorted = events.toArray.sortBy(e => (e.ts_us, e.value))
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         var cur = state.getOption.orNull
         var i = 0
         while (i < sorted.length) {
           val e = sorted(i)
-          val t = e.ts.getTime
+          val t = e.ts_us
           if (cur == null) cur = OpenSession(t, t, 1, e.value)
-          else if (t - cur.last > gapMs) {
+          else if (t - cur.last > gapUs) {
             out += close(cur)
             cur = OpenSession(t, t, 1, e.value)
           } else cur = OpenSession(cur.start, t, cur.n + 1, cur.value + e.value)
           i += 1
         }
         state.update(cur)
-        state.setTimeoutTimestamp(cur.last + gapMs)
+        // Spark watermarks/timeouts are millisecond-granular: flush fires
+        // when floor_ms(watermark) strictly passes this value. Only a
+        // max-event-time landing in the SAME millisecond as a session
+        // deadline can diverge from the exact-micros batch filter.
+        state.setTimeoutTimestamp((cur.last + gapUs) / 1000)
         out.iterator
       }
     }

@@ -90,9 +90,13 @@ object GoldenGen {
       SparkEntry.queries("text_winnow")(spark, sf001),
       dir.resolve("winnow_sf001.parquet"))
 
-    writeSingleParquet(
-      SparkEntry.queries("dedup_simhash")(spark, sf001),
-      dir.resolve("simhash_sf001.parquet"))
+    // simhash_sf001.parquet is NOT written here: its provenance is the
+    // INDEPENDENT Python derivation tools/simhash_expected.py (brute-force
+    // all-pairs hamming over a from-scratch simhash reimplementation),
+    // so the golden is a dual derivation rather than a pin of the
+    // kernel's own output. Regenerate with:
+    //   python3 tools/simhash_expected.py
+    // which also fails loudly if kernel and derivation ever diverge.
 
     // IVF coarse quantizer: trained once on the sf0.01 sample, committed
     // as text (Double round-trip) — the offline-trained artifact both
@@ -122,7 +126,8 @@ object GoldenGen {
       "true_duration_ms", "true_tracks")
     writeSingleParquet(av, dir.resolve("media_av.parquet"))
 
-    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, simhash_sf001, pdfs, media")
+    println("wrote golden parquets: chunks_sf001, cascade_sf001, winnow_sf001, pdfs, media " +
+      "(simhash_sf001 comes from tools/simhash_expected.py)")
     spark.stop()
   }
 

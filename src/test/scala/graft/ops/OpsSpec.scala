@@ -25,6 +25,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getLong(0) == 1 && out(0).getLong(2) == 2) // min id, dup_count
   }
 
+  test("shingle tokenizer splits on Python whitespace (NBSP et al.) like its oracle") {
+    // the dedup oracles split on the pyWs RE2 class; the kernel must
+    // produce the identical shingle set for text where the two classes
+    // differ from plain ASCII \s (NBSP \xa0, NEL \x85, ideographic space)
+    val nbsp = "alpha\u00a0beta gamma\u0085delta epsilon\u3000zeta eta"
+    val ascii = "alpha beta gamma delta epsilon zeta eta"
+    assert(Dedup.shingleHashes(nbsp, 3).sorted.sameElements(
+      Dedup.shingleHashes(ascii, 3).sorted),
+      "Python-whitespace chars must delimit tokens identically to ASCII space")
+  }
+
   test("minhash-LSH finds the same pairs as exact trigram jaccard (full recall here)") {
     val exact = Dedup.trigramJaccardPairs(docs, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,8 +35,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     val gapMs = 30L * 60 * 1000
     val streamed = StreamingOps
       .sessionizeStream(spark, s"$sfDir/events.parquet", "sos_sessions")
-      .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+      .collect() // SessionOut bounds are epoch micros; compare at ms like batch getTime
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000,
         r.getLong(3), r.getDouble(4)))
     assert(streamed.nonEmpty)
 
