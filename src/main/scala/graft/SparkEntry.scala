@@ -421,6 +421,18 @@ object SparkEntry {
         .select(col("id"), col("kind"), col("width"), col("height"),
           col("channels"), col("valid"), col("out_width"), col("out_height"))
         .orderBy(col("id"))
+    }),
+
+    "multimodal_resize" -> ((s, dir) => {
+      // REAL pixel path: the kernel inflates IDAT, unfilters every
+      // scanline (all five PNG filters appear in the corpus), box-filter
+      // downscales, and checksums the pixel buffers. The oracle reads
+      // truth columns computed at generation time STRAIGHT FROM THE
+      // PROCEDURAL PIXELS (never through the PNG encoder), so encode and
+      // decode are independent derivations meeting at the CRC.
+      val media = s.read.parquet(s"$goldenDir/media_px.parquet")
+        .select(col("id"), col("payload"))
+      graft.ops.Multimodal.resizeImages(media, maxSide = 64).orderBy(col("id"))
     })
   )
 
@@ -699,6 +711,13 @@ object SparkEntry {
         |  floor(width * scale)::INT AS out_width,
         |  floor(height * scale)::INT AS out_height
         |FROM r ORDER BY id""".stripMargin,
+
+    "multimodal_resize" ->
+      (s"SELECT id, true_width AS width, true_height AS height, " +
+        "true_channels AS channels, true_out_width AS out_width, " +
+        "true_out_height AS out_height, true_raw_crc AS raw_crc, " +
+        "true_out_crc AS out_crc, true AS valid " +
+        s"FROM read_parquet('$goldenDir/media_px.parquet') ORDER BY id"),
 
     "token_count" ->
       """SELECT doc_id,

@@ -119,6 +119,22 @@ object GoldenGen {
     }.toDF("id", "payload", "true_kind", "true_width", "true_height", "true_channels")
     writeSingleParquet(media, dir.resolve("media.parquet"))
 
+    // pixel-path golden: payload = real PNG encode of procedural pixels;
+    // truth columns computed straight from those pixels (resize + CRC
+    // never touch the PNG bytes) — the kernel must recover the identical
+    // buffers from the payload alone (inflate + unfilter)
+    val px = spark.range(0, 300).as[Long].map { id =>
+      val img = graft.ops.Multimodal.goldenPixels(id)
+      val payload = graft.ops.Multimodal.makePngPixels(
+        img, graft.ops.Multimodal.goldenColorType(id))
+      val resized = graft.ops.Multimodal.resizePixels(img, 64)
+      (id, payload, img.width, img.height, img.channels,
+        resized.width, resized.height,
+        graft.ops.Multimodal.pixelCrc(img), graft.ops.Multimodal.pixelCrc(resized))
+    }.toDF("id", "payload", "true_width", "true_height", "true_channels",
+      "true_out_width", "true_out_height", "true_raw_crc", "true_out_crc")
+    writeSingleParquet(px, dir.resolve("media_px.parquet"))
+
     val av = spark.range(0, 1500).as[Long].map { id =>
       val (payload, kind, ch, sr, dur, tracks) = graft.ops.Multimodal.goldenAv(id)
       (id, payload, kind, ch, sr, dur, tracks)

@@ -259,6 +259,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG pixel path: encode -> decode recovers exact pixels; resize is deterministic") {
+    (0L until 60L).foreach { id =>
+      val img = Multimodal.goldenPixels(id)
+      val png = Multimodal.makePngPixels(img, Multimodal.goldenColorType(id))
+      val back = Multimodal.decodePngPixels(png)
+      assert(back.isDefined, s"id=$id failed to decode")
+      val d = back.get
+      assert((d.width, d.height, d.channels) == ((img.width, img.height, img.channels)), s"id=$id")
+      assert(java.util.Arrays.equals(d.pixels, img.pixels),
+        s"id=$id pixels diverged after filter+deflate round-trip")
+      // resize: aspect preserved, bounded, deterministic
+      val r1 = Multimodal.resizePixels(img, 64)
+      val r2 = Multimodal.resizePixels(img, 64)
+      assert(math.max(r1.width, r1.height) <= 64 || math.max(img.width, img.height) <= 64)
+      assert(Multimodal.pixelCrc(r1) == Multimodal.pixelCrc(r2))
+    }
+    // a 4x4 gray gradient box-filters to the exact integer means
+    val tiny = Multimodal.PixelImage(4, 4, 1,
+      Array.tabulate(16)(i => (i * 16).toByte))
+    val half = Multimodal.resizePixels(tiny, 2)
+    assert(half.width == 2 && half.height == 2)
+    // block means: (0+16+64+80)/4=40, (32+48+96+112)/4=72, +128 below
+    assert(half.pixels.map(_ & 0xff).toSeq == Seq(40, 72, 168, 200))
+    // corrupt/truncated payloads: None, never an exception
+    assert(Multimodal.decodePngPixels(null).isEmpty)
+    assert(Multimodal.decodePngPixels(Array[Byte](1, 2, 3)).isEmpty)
+    val full = Multimodal.makePngPixels(Multimodal.goldenPixels(1), Multimodal.goldenColorType(1))
+    assert(Multimodal.decodePngPixels(full.take(full.length / 2)).isEmpty)
+    // palette PNGs are out of scope -> None (valid=false rows downstream)
+    assert(Multimodal.decodePngPixels(Multimodal.makePng(10, 10, 3)).isEmpty)
+  }
+
   test("goldenMedia corpus: deterministic, kernel re-derives the truth columns") {
     val rows = (0L until 300L).map { id =>
       val (payload, w, h, ch) = Multimodal.goldenMedia(id)
