@@ -165,6 +165,7 @@ object Bench {
            |Per-query timings in the raw JSON are the min of 2 reps each
            |(the first rep pays one-time JIT/parquet-footer costs; the min
            |is the steady-state cost a scheduled production run sees).
+           |Scale-tier evidence (10x facts, sf1-equivalent): BENCH_SCALE.md.
            |
            |Raw: $json
            |""".stripMargin
