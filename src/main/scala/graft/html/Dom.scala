@@ -23,16 +23,28 @@ final class Dom {
   var nAttrs: Int = 0
   var attrNames: Array[String] = new Array[String](64)
   var attrValues: Array[String] = new Array[String](64)
+  // Lazy attribute values: [start,end) offsets into `src`, materialized
+  // (substring + entity decode) only when attr() is actually read. The
+  // overwhelming majority of attribute bytes (href/style/src/data-*)
+  // are never consumed by any extractor, so parsing skips their
+  // allocations entirely.
+  var attrValStart: Array[Int] = new Array[Int](64)
+  var attrValEnd: Array[Int] = new Array[Int](64)
+  /** Source string of the current parse (valid until the next reset). */
+  var src: String = null
 
-  def reset(): Unit = {
+  def reset(source: String): Unit = {
     // free row strings so a huge page doesn't pin memory into the next row
     java.util.Arrays.fill(text.asInstanceOf[Array[AnyRef]], 0, size, null)
     java.util.Arrays.fill(attrNames.asInstanceOf[Array[AnyRef]], 0, nAttrs, null)
     java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, nAttrs, null)
     size = 0
     nAttrs = 0
+    src = source
     newNode(0, -1, -1) // document root
   }
+
+  def reset(): Unit = reset(null)
 
   private def grow(): Unit = {
     val n = kind.length * 2
@@ -69,13 +81,29 @@ final class Dom {
     id
   }
 
+  private def growAttrs(): Unit = {
+    val n = nAttrs * 2
+    attrNames = java.util.Arrays.copyOf(attrNames, n)
+    attrValues = java.util.Arrays.copyOf(attrValues, n)
+    attrValStart = java.util.Arrays.copyOf(attrValStart, n)
+    attrValEnd = java.util.Arrays.copyOf(attrValEnd, n)
+  }
+
+  /** Eager attribute (pre-materialized value). */
   def addAttr(name: String, value: String): Unit = {
-    if (nAttrs == attrNames.length) {
-      attrNames = java.util.Arrays.copyOf(attrNames, nAttrs * 2)
-      attrValues = java.util.Arrays.copyOf(attrValues, nAttrs * 2)
-    }
+    if (nAttrs == attrNames.length) growAttrs()
     attrNames(nAttrs) = name
     attrValues(nAttrs) = value
+    nAttrs += 1
+  }
+
+  /** Lazy attribute: value is src[vs, ve), decoded on first read. */
+  def addAttrLazy(name: String, vs: Int, ve: Int): Unit = {
+    if (nAttrs == attrNames.length) growAttrs()
+    attrNames(nAttrs) = name
+    attrValues(nAttrs) = null
+    attrValStart(nAttrs) = vs
+    attrValEnd(nAttrs) = ve
     nAttrs += 1
   }
 
@@ -84,7 +112,16 @@ final class Dom {
     var i = attrStart(node)
     val e = attrEnd(node)
     while (i < e) {
-      if (attrNames(i) == name) return attrValues(i)
+      if (attrNames(i) == name) {
+        var v = attrValues(i)
+        if (v == null) {
+          val vs = attrValStart(i)
+          val ve = attrValEnd(i)
+          v = if (ve <= vs) "" else Entities.decodeAll(src.substring(vs, ve))
+          attrValues(i) = v
+        }
+        return v
+      }
       i += 1
     }
     null

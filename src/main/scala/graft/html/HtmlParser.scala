@@ -90,7 +90,7 @@ final class HtmlParser {
   }
 
   def parse(html: String): Dom = {
-    dom.reset()
+    dom.reset(html) // lazy attr values substring from the source
     depth = 0
     sb.setLength(0)
     val len = html.length
@@ -195,11 +195,14 @@ final class HtmlParser {
             selfClosing = true; i += 2; inTag = false
           } else i += 1
         } else {
-          // attribute
+          // attribute — value captured as [vs, ve) offsets; Dom
+          // materializes (substring + entity decode) only if some
+          // extractor actually reads this attribute
           i = readName(s, i, len)
           val an = internedName()
           while (i < len && isWs(s.charAt(i))) i += 1
-          var av = ""
+          var vs = 0
+          var ve = 0
           if (i < len && s.charAt(i) == '=') {
             i += 1
             while (i < len && isWs(s.charAt(i))) i += 1
@@ -207,17 +210,16 @@ final class HtmlParser {
               val q = s.charAt(i)
               if (q == '"' || q == '\'') {
                 val end = s.indexOf(q, i + 1)
-                if (end < 0) { av = s.substring(i + 1, len); i = len }
-                else { av = s.substring(i + 1, end); i = end + 1 }
+                if (end < 0) { vs = i + 1; ve = len; i = len }
+                else { vs = i + 1; ve = end; i = end + 1 }
               } else {
-                val st = i
+                vs = i
                 while (i < len && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
-                av = s.substring(st, i)
+                ve = i
               }
             }
           }
-          if (an.nonEmpty && dom.attr(node, an) == null)
-            dom.addAttr(an, Entities.decodeAll(av))
+          if (an.nonEmpty) dom.addAttrLazy(an, vs, ve)
         }
       }
     }

@@ -1,94 +1,70 @@
 package graft.tools
 
-import graft.extract._
+import graft.extract.{CascadeConfig, CascadeExtractor}
 import graft.table.SyntheticPages
 
-/** Single-threaded stage breakdown of the cascade kernel:
-  * runMain graft.tools.ProfileExtract [nPages=20000]
-  * (no Spark — isolates kernel cost from scan/codec overhead)
+/** Single-thread phase profile of the extraction kernel over the
+  * synthetic corpus: total cascade time plus isolated parse and
+  * per-strategy costs (usage: runMain graft.tools.ProfileExtract [n]).
   */
 object ProfileExtract {
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toInt else 20000
+    val n = if (args.length > 0) args(0).toInt else 30000
     val pages = (0L until n.toLong).map(id => SyntheticPages.pageFor(42L, id)).toArray
-    val htmlBytes = pages.map(_.html)
-
-    def time(label: String)(f: => Long): Unit = {
+    val ex = CascadeExtractor.pooled()
+    val cfg = CascadeConfig()
+    // JIT warmup
+    var warm = 0L
+    pages.take(8000).foreach { p =>
+      val r = ex.extract(p.url, p.html, cfg)
+      if (r.extracted_text != null) warm += r.extracted_text.length
+    }
+    // timed full cascade
+    (1 to 3).foreach { rep =>
       val t0 = System.nanoTime()
-      val sink = f
+      var acc = 0L
+      pages.foreach { p =>
+        val r = ex.extract(p.url, p.html, cfg)
+        if (r.extracted_text != null) acc += r.extracted_text.length
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$label%-28s $sec%8.3f s   ${n / sec}%9.0f pages/s   (sink=$sink)")
+      println(f"profile: rep=$rep full-cascade n=$n sec=$sec%.2f docs_per_sec=${n / sec}%.0f acc=$acc")
     }
-
-    // warmup full path
+    // parse-only and parse+stats phases
     locally {
-      val ex = new CascadeExtractor
-      var i = 0; var s = 0L
-      while (i < math.min(n, 4000)) {
-        val r = ex.extract(pages(i).url, htmlBytes(i), CascadeConfig())
-        s += (if (r.succeeded) 1 else 0); i += 1
-      }
-      println(s"warmup ok=$s")
-    }
-
-    time("decode (charset sniff)") {
-      var i = 0; var s = 0L
-      while (i < n) { s += (if (htmlBytes(i) == null) 0 else PageCodec.decode(htmlBytes(i)).length); i += 1 }
-      s
-    }
-
-    val decoded = htmlBytes.map(b => if (b == null) null else PageCodec.decode(b))
-
-    val parser = new HtmlParserHolder
-    time("parse (tokenizer+DOM)") {
-      var i = 0; var s = 0L
-      while (i < n) { if (decoded(i) != null && decoded(i).nonEmpty) s += parser.p.parse(decoded(i)).size; i += 1 }
-      s
-    }
-
-    val stats = new DomStats
-    time("parse+stats") {
-      var i = 0; var s = 0L
-      while (i < n) {
-        if (decoded(i) != null && decoded(i).nonEmpty) {
-          val dom = parser.p.parse(decoded(i)); stats.compute(dom); s += dom.size
+      val parser = graft.html.HtmlParser.pooled()
+      val htmls = pages.map(p => new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      parser.parse(htmls(0))
+      (1 to 2).foreach { rep =>
+        var t0 = System.nanoTime()
+        var nodes = 0L
+        htmls.foreach(h => nodes += parser.parse(h).size)
+        val parseSec = (System.nanoTime() - t0) / 1e9
+        val stats = new graft.extract.DomStats
+        t0 = System.nanoTime()
+        var acc = 0L
+        htmls.foreach { h =>
+          val d = parser.parse(h)
+          stats.compute(d)
+          acc += d.size
         }
-        i += 1
-      }
-      s
-    }
-
-    for (strat <- Seq("http", "readability", "newspaper")) {
-      time(s"parse+stats+$strat") {
-        var i = 0; var s = 0L
-        while (i < n) {
-          if (decoded(i) != null && decoded(i).nonEmpty) {
-            val dom = parser.p.parse(decoded(i)); stats.compute(dom)
-            val r = strat match {
-              case "http" => Extractors.bs4Strip(dom, stats)
-              case "readability" => Extractors.readability(dom, stats)
-              case "newspaper" => Extractors.newspaperLike(dom, stats)
-            }
-            s += (if (r.content == null) 0 else r.content.length)
-          }
-          i += 1
-        }
-        s
+        val bothSec = (System.nanoTime() - t0) / 1e9
+        println(f"profile: rep=$rep parse-only sec=$parseSec%.2f (${n / parseSec}%.0f/s) " +
+          f"parse+stats sec=$bothSec%.2f (${n / bothSec}%.0f/s) nodes=$nodes acc=$acc")
       }
     }
-
-    time("full cascade") {
-      val ex = new CascadeExtractor
-      var i = 0; var s = 0L
-      while (i < n) {
-        val r = ex.extract(pages(i).url, htmlBytes(i), CascadeConfig())
-        s += (if (r.extracted_text == null) 0 else r.extracted_text.length)
-        i += 1
+    // per-strategy isolation
+    for (strat <- Seq("newspaper", "readability", "http")) {
+      val c = CascadeConfig(strategies = Seq(strat), minContentLength = 1)
+      pages.take(4000).foreach(p => ex.extract(p.url, p.html, c))
+      val t0 = System.nanoTime()
+      var acc = 0L
+      pages.foreach { p =>
+        val r = ex.extract(p.url, p.html, c)
+        if (r.extracted_text != null) acc += r.extracted_text.length
       }
-      s
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"profile: only=$strat sec=$sec%.2f docs_per_sec=${n / sec}%.0f acc=$acc")
     }
   }
-
-  // HtmlParser is package-visible bits; hold one instance
-  private class HtmlParserHolder { val p = new graft.html.HtmlParser }
 }
