@@ -424,12 +424,13 @@ object SparkEntry {
     }),
 
     "multimodal_resize" -> ((s, dir) => {
-      // REAL pixel path: the kernel inflates IDAT, unfilters every
-      // scanline (all five PNG filters appear in the corpus), box-filter
-      // downscales, and checksums the pixel buffers. The oracle reads
-      // truth columns computed at generation time STRAIGHT FROM THE
-      // PROCEDURAL PIXELS (never through the PNG encoder), so encode and
-      // decode are independent derivations meeting at the CRC.
+      // REAL pixel path over a mixed PNG+GIF corpus: the kernel sniffs
+      // the format, decodes (PNG: IDAT inflate + all five scanline
+      // unfilters; GIF: LZW + palette mapping), box-filter downscales,
+      // and checksums the pixel buffers. The oracle reads truth columns
+      // computed at generation time STRAIGHT FROM THE PROCEDURAL PIXELS
+      // (never through either encoder), so encode and decode are
+      // independent derivations meeting at the CRC.
       val media = s.read.parquet(s"$goldenDir/media_px.parquet")
         .select(col("id"), col("payload"))
       graft.ops.Multimodal.resizeImages(media, maxSide = 64).orderBy(col("id"))

@@ -44,7 +44,14 @@ object Cli {
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
   }
 
+  /** Engine version (the reference exposes __version__ via a --version
+    * callback, core/cli/app.py:417-425).
+    */
+  val Version = "0.3.0"
+
   def main(args: Array[String]): Unit = {
+    // global --version callback: print and exit, before any verb
+    if (args.contains("--version")) { println(Version); return }
     if (args.isEmpty) { println(usage); sys.exit(2) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     args(0) match {
@@ -62,11 +69,25 @@ object Cli {
         // the reference's default <- env <- runtime precedence
         // (core/utils/config.py) driving the cascade, incl. the
         // config-ordered extractor list (--extractors http,readability)
-        val pipelineOverrides: Map[String, Any] =
+        val pipelineOverrides0: Map[String, Any] =
           opt(args, "--min-length").map(v =>
             Map[String, Any]("minimum_content_length" -> v.toInt)).getOrElse(Map()) ++
           opt(args, "--extractors").map(v =>
             Map[String, Any]("extractors" -> v.split(",").toSeq)).getOrElse(Map())
+        // reference --async (app.py:83-99) prepends async_http to the
+        // cascade; here fetch concurrency IS partition parallelism
+        // (SPARK_GRAFT_CPUS), so the flag promotes the http strategy to
+        // the front and otherwise acts as a parallelism hint
+        val pipelineOverrides: Map[String, Any] =
+          if (!args.contains("--async")) pipelineOverrides0
+          else {
+            val base = pipelineOverrides0.get("extractors") match {
+              case Some(xs: Seq[_]) => xs.map(_.toString)
+              case _ => Seq("newspaper", "readability", "http")
+            }
+            pipelineOverrides0 + ("extractors" ->
+              ("http" +: base.filterNot(_ == "http")))
+          }
         val resolved = graft.util.ScragConfig.resolve(
           runtimeOverrides =
             if (pipelineOverrides.isEmpty) Map.empty

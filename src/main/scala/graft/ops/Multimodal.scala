@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * codec jar needed for header metadata), with the deterministic GRFT
   * fake format kept for the video/frame-sampling tests.
   *
-  * PNG additionally has a REAL pixel path ([[decodePngPixels]] /
-  * [[resizePixels]] / [[resizeImages]]): IDAT zlib inflate + all five
-  * scanline unfilters + integer box-filter downscale, pure java.util.zip.
-  * JPEG/GIF pixel decode would need a codec jar this container doesn't
-  * ship, so for those [[resizeStub]]/[[frameSampleStub]] remain
-  * metadata-only transforms with production-shaped plumbing.
+  * PNG and GIF additionally have REAL pixel paths ([[decodePngPixels]] /
+  * [[decodeGifPixels]] / [[resizePixels]] / [[resizeImages]]): PNG = IDAT
+  * zlib inflate + all five scanline unfilters (pure java.util.zip);
+  * GIF = a from-scratch LZW decompressor + palette mapping; both feed an
+  * integer box-filter downscale. JPEG pixel decode (DCT + huffman) would
+  * need a codec jar this container doesn't ship, so for it
+  * [[resizeStub]]/[[frameSampleStub]] remain metadata-only transforms
+  * with production-shaped plumbing.
   */
 object Multimodal {
 
@@ -569,6 +571,157 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Full GIF pixel decode (pure JVM): header + logical screen
+    * descriptor + global color table, extension-block skip, image
+    * descriptor, and a from-scratch LZW decompressor (variable code
+    * width 3..12 bits, clear/EOI codes, 4096-entry dictionary) mapping
+    * palette indices to interleaved RGB. Non-interlaced, single frame,
+    * global palette — the shapes [[makeGifPixels]] emits. Returns None
+    * for interlaced/local-palette/corrupt payloads (errors are data).
+    */
+  def decodeGifPixels(b: Array[Byte]): Option[PixelImage] = {
+    try {
+      if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8')
+        return None
+      val sw = leU16(b, 6)
+      val sh = leU16(b, 8)
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) == 0) return None // no global color table
+      val gctSize = 2 << (packed & 0x07)
+      var i = 13
+      val palette = new Array[Byte](gctSize * 3)
+      if (i + palette.length > b.length) return None
+      System.arraycopy(b, i, palette, 0, palette.length)
+      i += palette.length
+      // walk blocks to the first image descriptor
+      var done = false
+      while (!done && i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+            i += 1
+          case 0x2c => done = true
+          case 0x3b => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      if (!done || i + 10 > b.length) return None
+      // descriptor: 0x2C, left u16, top u16, width u16, height u16, packed
+      val iw = leU16(b, i + 5)
+      val ih = leU16(b, i + 7)
+      val ipacked = b(i + 9) & 0xff
+      if ((ipacked & 0x80) != 0) return None // local color table unsupported
+      if ((ipacked & 0x40) != 0) return None // interlaced unsupported
+      if (iw <= 0 || ih <= 0 || iw != sw || ih != sh) return None
+      i += 10
+      if (i >= b.length) return None
+      val minCodeSize = b(i) & 0xff
+      i += 1
+      if (minCodeSize < 2 || minCodeSize > 8) return None
+      // concatenate data sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while (i < b.length && b(i) != 0) {
+        val len = b(i) & 0xff
+        if (i + 1 + len > b.length) return None
+        data.write(b, i + 1, len)
+        i += 1 + len
+      }
+      val bytes = data.toByteArray
+      // LZW decode into index buffer
+      val nPix = iw * ih
+      val indices = new Array[Byte](nPix)
+      var out = 0
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      // dictionary as prefix/suffix arrays
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      var dictSize = eoi + 1
+      var codeWidth = minCodeSize + 1
+      var prev = -1
+      var bitPos = 0
+      val totalBits = bytes.length * 8
+      var finished = false
+      while (!finished && out < nPix) {
+        if (bitPos + codeWidth > totalBits) { finished = true }
+        else {
+          // read little-endian bit-packed code
+          var code = 0
+          var k = 0
+          while (k < codeWidth) {
+            val bit = bitPos + k
+            if ((bytes(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
+            k += 1
+          }
+          bitPos += codeWidth
+          if (code == clear) {
+            dictSize = eoi + 1
+            codeWidth = minCodeSize + 1
+            prev = -1
+          } else if (code == eoi) {
+            finished = true
+          } else {
+            // expand a code into `stack` (bytes in reverse); roots are
+            // codes < clear, table entries are >= eoi+1
+            def expand(c0: Int): Int = {
+              var sp = 0
+              var cur = c0
+              while (cur >= eoi + 1) {
+                if (cur >= dictSize || sp >= stack.length - 1) return -1
+                stack(sp) = suffix(cur); sp += 1
+                cur = prefix(cur)
+              }
+              if (cur >= clear) return -1 // clear/eoi inside a chain: corrupt
+              stack(sp) = cur.toByte; sp += 1
+              sp
+            }
+            var sp = 0
+            if (code < dictSize) {
+              sp = expand(code)
+            } else if (code == dictSize && prev >= 0) {
+              // KwKwK: entry = expand(prev) + firstChar(expand(prev))
+              sp = expand(prev)
+              if (sp > 0) {
+                val first = stack(sp - 1) // last pushed = first byte
+                // prepend first at the BOTTOM of the reversed stack
+                System.arraycopy(stack, 0, stack, 1, sp)
+                stack(0) = first
+                sp += 1
+              }
+            } else return None
+            if (sp <= 0) return None
+            if (out + sp > nPix) return None
+            var w = sp - 1
+            while (w >= 0) { indices(out) = stack(w); out += 1; w -= 1 }
+            // new dictionary entry: expand(prev) + first byte just written
+            if (prev >= 0 && dictSize < 4096) {
+              prefix(dictSize) = prev
+              suffix(dictSize) = indices(out - sp) // first byte of this output
+              dictSize += 1
+              if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            }
+            prev = code
+          }
+        }
+      }
+      if (out != nPix) return None
+      // palette map to RGB
+      val px = new Array[Byte](nPix * 3)
+      var p = 0
+      while (p < nPix) {
+        val idx = indices(p) & 0xff
+        if (idx >= gctSize) return None
+        px(p * 3) = palette(idx * 3)
+        px(p * 3 + 1) = palette(idx * 3 + 1)
+        px(p * 3 + 2) = palette(idx * 3 + 2)
+        p += 1
+      }
+      Some(PixelImage(iw, ih, 3, px))
+    } catch { case _: Exception => None }
+  }
+
   /** Integer box-filter downscale preserving aspect ratio: output pixel
     * (ox, oy) averages the exact source block [ox*w/ow, (ox+1)*w/ow) x
     * [oy*h/oh, (oy+1)*h/oh) per channel with floor division — fully
@@ -621,11 +774,12 @@ object Multimodal {
     crc.getValue
   }
 
-  /** REAL pixel-level resize over a binary PNG column: decode (inflate +
-    * unfilter) → box-filter downscale → checksum. Pooled mapPartitions
-    * kernel; undecodable payloads yield valid=false rows. At 100 TB this
-    * is the same per-row embarrassingly-parallel shape as the HTML
-    * cascade — no shuffle, scan-partition parallelism.
+  /** REAL pixel-level resize over a binary image column (PNG or GIF,
+    * sniffed): decode (PNG inflate+unfilter / GIF LZW+palette) →
+    * box-filter downscale → checksum. Pooled mapPartitions kernel;
+    * undecodable payloads yield valid=false rows. At 100 TB this is the
+    * same per-row embarrassingly-parallel shape as the HTML cascade —
+    * no shuffle, scan-partition parallelism.
     */
   def resizeImages(media: DataFrame, maxSide: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -633,7 +787,7 @@ object Multimodal {
     media.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        decodePngPixels(bytes) match {
+        decodePixels(bytes) match {
           case Some(img) =>
             val res = resizePixels(img, maxSide)
             (id, img.width, img.height, img.channels,
@@ -667,6 +821,46 @@ object Multimodal {
       i += 1
     }
     PixelImage(w, ht, c, px)
+  }
+
+  /** Deterministic indexed GIF golden for row `id`: procedural palette +
+    * index plane. Returns (payload, truth RGB image), where the truth is
+    * the palette mapping computed DIRECTLY from the procedural arrays —
+    * the LZW encoder never touches it, so encode and decode stay
+    * independent derivations.
+    */
+  def goldenGif(id: Long): (Array[Byte], PixelImage) = {
+    var h = id * 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    val w = 16 + Math.floorMod(h, 110).toInt
+    val ht = 16 + Math.floorMod(h >> 16, 110).toInt
+    val palette = new Array[Byte](768)
+    var p = 0
+    while (p < 256) {
+      palette(p * 3) = ((p * 7 + (h >> 8)) & 0xff).toByte
+      palette(p * 3 + 1) = ((p * 13 + (h >> 24)) & 0xff).toByte
+      palette(p * 3 + 2) = ((p * 29 + (h >> 40)) & 0xff).toByte
+      p += 1
+    }
+    val indices = new Array[Byte](w * ht)
+    var i = 0
+    while (i < indices.length) {
+      val y = i / w; val x = i % w
+      // gradient bands + hash noise: repetitive enough to exercise LZW
+      // dictionary growth, noisy enough to exercise CLEAR resets
+      indices(i) = ((x / 3 + y * 5 + ((h >> (i % 40)) & 7)) & 0xff).toByte
+      i += 1
+    }
+    val rgb = new Array[Byte](w * ht * 3)
+    i = 0
+    while (i < indices.length) {
+      val idx = indices(i) & 0xff
+      rgb(i * 3) = palette(idx * 3)
+      rgb(i * 3 + 1) = palette(idx * 3 + 1)
+      rgb(i * 3 + 2) = palette(idx * 3 + 2)
+      i += 1
+    }
+    (makeGifPixels(w, ht, indices, palette), PixelImage(w, ht, 3, rgb))
   }
 
   /** Color type for the golden row (drives encode; derived from the
@@ -729,6 +923,93 @@ object Multimodal {
     writePngChunk(out, "IDAT", zipped.toByteArray)
     writePngChunk(out, "IEND", Array.empty)
     out.toByteArray
+  }
+
+  /** Real GIF89a encode of an indexed image: global 256-color palette +
+    * from-scratch LZW compressor (variable width, CLEAR on dictionary
+    * overflow, EOI) packed into <=255-byte sub-blocks. Golden-gen only —
+    * the decoder must recover the exact palette-mapped RGB pixels.
+    */
+  def makeGifPixels(width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(palette.length == 768, "expect a full 256-entry RGB palette")
+    require(indices.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) } // little-endian
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    w8(0x80 | 0x07) // global color table, 256 entries
+    w8(0); w8(0)    // bg index, aspect
+    out.write(palette)
+    w8(0x2c) // image descriptor
+    w16(0); w16(0); w16(width); w16(height)
+    w8(0) // no local table, not interlaced
+    val mcs = 8
+    w8(mcs)
+    // LZW compress
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    var dictSize = eoi + 1
+    var codeWidth = mcs + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc
+      nAcc += codeWidth
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val b = indices(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | b)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (dictSize == 4096) {
+          emit(clear)
+          dict.clear()
+          dictSize = eoi + 1
+          codeWidth = mcs + 1
+        } else {
+          dict.put(key, Integer.valueOf(dictSize))
+          dictSize += 1
+          // the decoder trails one entry behind: it reaches 2^w (and
+          // widens) exactly when our dict holds 2^w + 1 entries
+          if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+        }
+        cur = b
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    // package into sub-blocks
+    val payload = bits.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val len = math.min(255, payload.length - off)
+      w8(len)
+      out.write(payload, off, len)
+      off += len
+    }
+    w8(0)    // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Format-sniffing pixel decode: PNG or GIF. */
+  def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes == null || bytes.length < 6) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePngPixels(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGifPixels(bytes)
+    else None
   }
 
   /** STUB resize: metadata-only transform preserving aspect ratio. */

@@ -103,6 +103,25 @@ class CliSpec extends AnyFunSuite {
     assert(strategies == Set("http"), s"config-ordered cascade ignored: $strategies")
   }
 
+  test("--version prints the engine version and exits; --async fronts the http strategy") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { Cli.main(Array("--version")) }
+    assert(out.toString.trim == Cli.Version)
+
+    val work = Files.createTempDirectory("cli-async")
+    val tbl = work.resolve("table").toString
+    Cli.main(Array("extract", "synth:60", tbl, "--async", "--min-length", "10"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val strategies = new graft.table.IcebergLite(tbl).read(spark)
+      .where(col("succeeded")).select("strategy_used").distinct()
+      .collect().map(_.getString(0)).toSet
+    // --async promotes http to the cascade front: short-circuit means
+    // every success is the http strategy
+    assert(strategies == Set("http"), s"--async did not front http: $strategies")
+  }
+
   test("index verb: embeddings parquet → committed searchable index; query retrieves") {
     val work = Files.createTempDirectory("cli-index")
     val txt = work.resolve("input.txt")

@@ -291,6 +291,34 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPixels(Multimodal.makePng(10, 10, 3)).isEmpty)
   }
 
+  test("GIF pixel path: LZW encode -> decode recovers exact palette-mapped RGB") {
+    (300L until 360L).foreach { id =>
+      val (payload, truth) = Multimodal.goldenGif(id)
+      val back = Multimodal.decodeGifPixels(payload)
+      assert(back.isDefined, s"id=$id failed to decode")
+      val d = back.get
+      assert((d.width, d.height, d.channels) == ((truth.width, truth.height, 3)), s"id=$id")
+      assert(java.util.Arrays.equals(d.pixels, truth.pixels),
+        s"id=$id pixels diverged after LZW round-trip")
+    }
+    // a big uniform image forces dictionary overflow + CLEAR mid-stream
+    val flat = Array.fill[Byte](200 * 200)(7)
+    val pal = Array.tabulate[Byte](768)(i => (i * 11).toByte)
+    val gif = Multimodal.makeGifPixels(200, 200, flat, pal)
+    val dec = Multimodal.decodeGifPixels(gif)
+    assert(dec.isDefined && dec.get.width == 200)
+    assert(dec.get.pixels(0) == pal(21) && dec.get.pixels(1) == pal(22) && dec.get.pixels(2) == pal(23))
+    assert(dec.get.pixels.grouped(3).map(_.toSeq).toSet.size == 1) // all pixels identical
+    // sniffer routes both formats; garbage stays None
+    assert(Multimodal.decodePixels(gif).isDefined)
+    assert(Multimodal.decodePixels(
+      Multimodal.makePngPixels(Multimodal.goldenPixels(2), Multimodal.goldenColorType(2))).isDefined)
+    assert(Multimodal.decodePixels(Array[Byte](9, 9, 9, 9, 9, 9)).isEmpty)
+    assert(Multimodal.decodeGifPixels(gif.take(gif.length / 2)).isEmpty)
+    // header-only GIFs (no image data) are metadata-valid but pixel-None
+    assert(Multimodal.decodeGifPixels(Multimodal.makeGif(10, 10)).isEmpty)
+  }
+
   test("goldenMedia corpus: deterministic, kernel re-derives the truth columns") {
     val rows = (0L until 300L).map { id =>
       val (payload, w, h, ch) = Multimodal.goldenMedia(id)
