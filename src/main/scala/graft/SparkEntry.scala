@@ -155,6 +155,24 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "stream_extract" -> ((s, dir) => {
+      // the streaming-extraction leg of the north rule: the SAME pages
+      // flow through readStream → cascade → exactly-once checkpointed
+      // parquet sink; the result must equal the batch cascade, so it
+      // shares cascade_extract's golden oracle
+      val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
+      val work = java.nio.file.Files.createTempDirectory("se-stream-extract")
+      val pagesDir = s"$work/pages"
+      pages.toDF().write.mode("overwrite").parquet(pagesDir)
+      graft.streaming.StreamingOps.streamingExtract(
+        s, pagesDir, s"$work/out", s"$work/ck")
+      s.read.parquet(s"$work/out")
+        .select(col("url"), col("strategy_used"), col("succeeded"),
+          col("partial"), length(col("extracted_text")).as("text_len"),
+          col("title"), col("failure_reason"))
+        .orderBy(col("url"))
+    }),
+
     "pdf_extract" -> ((s, dir) => {
       // the north rule's PDF/layout-parse leg: real FlateDecode content
       // streams — the kernel must inflate and parse the text-showing
@@ -691,6 +709,12 @@ object SparkEntry {
         "ORDER BY doc_id, chunk_id"),
 
     "cascade_extract" ->
+      ("SELECT url, strategy_used, succeeded, partial, text_len, title, failure_reason " +
+        s"FROM read_parquet('$goldenDir/cascade_sf001.parquet') " +
+        "ORDER BY url"),
+
+    // streaming extraction must equal the batch cascade — same golden
+    "stream_extract" ->
       ("SELECT url, strategy_used, succeeded, partial, text_len, title, failure_reason " +
         s"FROM read_parquet('$goldenDir/cascade_sf001.parquet') " +
         "ORDER BY url"),

@@ -103,6 +103,35 @@ object PropertySpec extends Properties("graft") {
       graft.extract.PageCodec.decode(bytes) != null
     }
 
+  // pixel/container decoders must be TOTAL: arbitrary bytes (including
+  // valid-looking magic prefixes) return None/invalid, never throw or
+  // hang — one bad payload in a crawl must not kill a task
+  private val fuzzBytes: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf(
+      Array[Byte](),                                      // raw garbage
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes("US-ASCII"),
+      "RIFF1234WAVE".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'))
+    body <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield magic ++ body.toArray
+
+  property("decodePixels total on arbitrary (magic-prefixed) bytes") =
+    forAll(fuzzBytes) { bytes =>
+      graft.ops.Multimodal.decodePixels(bytes).forall(img =>
+        img.pixels.length == img.width * img.height * img.channels)
+    }
+
+  property("decodeAvMeta total on arbitrary (magic-prefixed) bytes") =
+    forAll(fuzzBytes) { bytes =>
+      graft.ops.Multimodal.decodeAvMeta(bytes) != null
+    }
+
+  property("decodeMeta total on arbitrary (magic-prefixed) bytes") =
+    forAll(fuzzBytes) { bytes =>
+      graft.ops.Multimodal.decodeMeta(bytes) != null
+    }
+
   property("winnow deterministic and bounded") =
     forAll(Gen.asciiPrintableStr) { s =>
       val a = graft.ops.TextAnalysis.winnow(s)
