@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * codec jar needed for header metadata), with the deterministic GRFT
   * fake format kept for the video/frame-sampling tests.
   *
-  * PNG and GIF additionally have REAL pixel paths ([[decodePngPixels]] /
-  * [[decodeGifPixels]] / [[resizePixels]] / [[resizeImages]]): PNG = IDAT
-  * zlib inflate + all five scanline unfilters (pure java.util.zip);
-  * GIF = a from-scratch LZW decompressor + palette mapping; both feed an
-  * integer box-filter downscale. JPEG pixel decode (DCT + huffman) would
-  * need a codec jar this container doesn't ship, so for it
-  * [[resizeStub]]/[[frameSampleStub]] remain metadata-only transforms
-  * with production-shaped plumbing.
+  * All three image formats additionally have REAL pixel paths
+  * ([[decodePixels]] sniffing into [[decodePngPixels]] /
+  * [[decodeGifPixels]] / [[Jpeg.decode]], then [[resizePixels]] /
+  * [[resizeImages]]): PNG = IDAT zlib inflate + all five scanline
+  * unfilters (pure java.util.zip); GIF = a from-scratch LZW
+  * decompressor + palette mapping; JPEG = baseline huffman decode +
+  * dequant + IDCT + YCbCr->RGB ([[Jpeg]]); all feed an integer
+  * box-filter downscale. [[frameSampleStub]] remains the one
+  * metadata-only transform (video codecs are out of sandbox scope).
   */
 object Multimodal {
 
@@ -1004,12 +1005,35 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Format-sniffing pixel decode: PNG or GIF. */
+  /** Format-sniffing pixel decode: PNG, GIF or baseline JPEG. */
   def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
     if (bytes == null || bytes.length < 6) None
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePngPixels(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGifPixels(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) Jpeg.decode(bytes)
     else None
+  }
+
+  /** Deterministic JPEG golden for row `id`: procedural smooth RGB →
+    * baseline 4:4:4 encode. Truth pixels come from the QUANTIZED
+    * coefficients (dequant + shared IDCT), computed inside
+    * [[Jpeg.encodeWithTruth]] without touching the bitstream — JPEG is
+    * lossy, so the coefficients, not the source pixels, are the truth.
+    */
+  def goldenJpeg(id: Long): (Array[Byte], PixelImage) = {
+    var h = id * 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    val w = 8 * (2 + Math.floorMod(h, 14).toInt)        // 16..112, %8==0
+    val ht = 8 * (2 + Math.floorMod(h >> 16, 14).toInt)
+    val px = new Array[Byte](w * ht * 3)
+    var i = 0
+    while (i < px.length) {
+      val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
+      // smooth gradients (JPEG-friendly) with mild per-row variation
+      px(i) = ((x * (ch + 2) / 2 + y * 3 + ((h >> (ch * 8)) & 63)) & 0xff).toByte
+      i += 1
+    }
+    Jpeg.encodeWithTruth(PixelImage(w, ht, 3, px))
   }
 
   /** STUB resize: metadata-only transform preserving aspect ratio. */

@@ -123,16 +123,18 @@ object GoldenGen {
     // truth columns computed straight from those pixels (resize + CRC
     // never touch the PNG bytes) — the kernel must recover the identical
     // buffers from the payload alone (inflate + unfilter)
-    val px = spark.range(0, 500).as[Long].map { id =>
-      // ids 0-299: real PNG (filtered scanlines + zlib); ids 300-499:
-      // real GIF (palette + LZW). Truth pixels never pass through either
-      // encoder.
+    val px = spark.range(0, 700).as[Long].map { id =>
+      // ids 0-299: real PNG (filtered scanlines + zlib); 300-499: real
+      // GIF (palette + LZW); 500-699: real baseline JPEG (huffman + DCT,
+      // truth from the quantized coefficients). Truth pixels never pass
+      // through any encoder's bitstream.
       val (payload, img) =
         if (id < 300) {
           val im = graft.ops.Multimodal.goldenPixels(id)
           (graft.ops.Multimodal.makePngPixels(
             im, graft.ops.Multimodal.goldenColorType(id)), im)
-        } else graft.ops.Multimodal.goldenGif(id)
+        } else if (id < 500) graft.ops.Multimodal.goldenGif(id)
+        else graft.ops.Multimodal.goldenJpeg(id)
       val resized = graft.ops.Multimodal.resizePixels(img, 64)
       (id, payload, img.width, img.height, img.channels,
         resized.width, resized.height,

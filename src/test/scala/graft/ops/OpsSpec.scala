@@ -319,6 +319,46 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(Multimodal.makeGif(10, 10)).isEmpty)
   }
 
+  test("JPEG pixel path: huffman/DCT round-trip equals coefficient-derived truth") {
+    (500L until 540L).foreach { id =>
+      val (payload, truth) = Multimodal.goldenJpeg(id)
+      val back = Jpeg.decode(payload)
+      assert(back.isDefined, s"id=$id failed to decode")
+      val d = back.get
+      assert((d.width, d.height, d.channels) == ((truth.width, truth.height, 3)), s"id=$id")
+      assert(java.util.Arrays.equals(d.pixels, truth.pixels),
+        s"id=$id pixels diverged from the coefficient-derived truth")
+    }
+    // and the decoded image is CLOSE to the source (lossy, but smooth
+    // gradients should survive quantization within a small error)
+    val (payload, _) = Multimodal.goldenJpeg(500L)
+    val dec = Jpeg.decode(payload).get
+    // regenerate the source pixels exactly as goldenJpeg does
+    var h = 500L * 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    val w = 8 * (2 + Math.floorMod(h, 14).toInt)
+    val ht = 8 * (2 + Math.floorMod(h >> 16, 14).toInt)
+    var errSum = 0L
+    var i = 0
+    while (i < dec.pixels.length) {
+      val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
+      val src = ((x * (ch + 2) / 2 + y * 3 + ((h >> (ch * 8)) & 63)) & 0xff).toInt
+      val got = dec.pixels(i) & 0xff
+      errSum += math.abs(src - got)
+      i += 1
+    }
+    // mean abs error small = decode genuinely reconstructs the image
+    // (mod-256 gradient seams ring locally, so mean not max)
+    val meanErr = errSum.toDouble / dec.pixels.length
+    assert(meanErr <= 8.0, s"decoded image too far from source: meanErr=$meanErr")
+    // totality: truncation and garbage return None
+    assert(Jpeg.decode(payload.take(payload.length / 2)).isEmpty)
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3)).isEmpty)
+    // header-only JPEGs (no scan) are metadata-valid but pixel-None
+    assert(Jpeg.decode(Multimodal.makeJpeg(32, 32, 3)).isEmpty)
+    assert(Multimodal.decodePixels(payload).isDefined) // sniffer routes
+  }
+
   test("goldenMedia corpus: deterministic, kernel re-derives the truth columns") {
     val rows = (0L until 300L).map { id =>
       val (payload, w, h, ch) = Multimodal.goldenMedia(id)
