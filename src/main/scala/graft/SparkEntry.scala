@@ -441,6 +441,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "multimodal_frames" -> ((s, dir) => {
+      // REAL video-style frame sampling: every frame of each animated
+      // GIF is LZW-decoded and palette-mapped; each 2nd frame emits its
+      // dimensions and pixel CRC. Oracle = the generation-time per-frame
+      // truth table (computed from the index planes, never through the
+      // encoder) filtered to the same stride.
+      val media = s.read.parquet(s"$goldenDir/media_anim.parquet")
+      graft.ops.Multimodal.frameSample(media, stride = 2)
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     "multimodal_resize" -> ((s, dir) => {
       // REAL pixel path over a mixed PNG+GIF corpus: the kernel sniffs
       // the format, decodes (PNG: IDAT inflate + all five scanline
@@ -736,6 +747,13 @@ object SparkEntry {
         |  floor(width * scale)::INT AS out_width,
         |  floor(height * scale)::INT AS out_height
         |FROM r ORDER BY id""".stripMargin,
+
+    "multimodal_frames" ->
+      (s"SELECT id, frame_idx, true_n_frames AS n_frames, " +
+        "true_width AS width, true_height AS height, true_crc AS frame_crc, " +
+        "true AS valid " +
+        s"FROM read_parquet('$goldenDir/media_anim_truth.parquet') " +
+        "WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx"),
 
     "multimodal_resize" ->
       (s"SELECT id, true_width AS width, true_height AS height, " +

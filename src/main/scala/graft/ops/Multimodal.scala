@@ -572,15 +572,18 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Full GIF pixel decode (pure JVM): header + logical screen
-    * descriptor + global color table, extension-block skip, image
-    * descriptor, and a from-scratch LZW decompressor (variable code
-    * width 3..12 bits, clear/EOI codes, 4096-entry dictionary) mapping
-    * palette indices to interleaved RGB. Non-interlaced, single frame,
-    * global palette — the shapes [[makeGifPixels]] emits. Returns None
-    * for interlaced/local-palette/corrupt payloads (errors are data).
+  /** GIF frame enumeration (pure JVM): header + logical screen
+    * descriptor + global color table, extension-block skip, then EVERY
+    * image descriptor decoded through a from-scratch LZW decompressor
+    * (variable code width 3..12 bits, clear/EOI codes, 4096-entry
+    * dictionary) and mapped through the palette to interleaved RGB.
+    * Animated GIFs yield one PixelImage per frame. Restricted to the
+    * tractable-and-common shape: full-frame, non-interlaced frames on
+    * the global palette (no disposal compositing); anything else —
+    * local palettes, interlacing, partial frames, corrupt streams —
+    * returns None (errors are data).
     */
-  def decodeGifPixels(b: Array[Byte]): Option[PixelImage] = {
+  def decodeGifFrames(b: Array[Byte], maxFrames: Int = 4096): Option[Seq[PixelImage]] = {
     try {
       if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8')
         return None
@@ -594,133 +597,153 @@ object Multimodal {
       if (i + palette.length > b.length) return None
       System.arraycopy(b, i, palette, 0, palette.length)
       i += palette.length
-      // walk blocks to the first image descriptor
+      val frames = scala.collection.mutable.ArrayBuffer.empty[PixelImage]
       var done = false
-      while (!done && i < b.length) {
+      while (!done && i < b.length && frames.length < maxFrames) {
         (b(i) & 0xff) match {
           case 0x21 => // extension: label + sub-blocks
             i += 2
             while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
             i += 1
-          case 0x2c => done = true
-          case 0x3b => return None // trailer before any image
+          case 0x3b => done = true
+          case 0x2c =>
+            val r = decodeOneGifFrame(b, i, sw, sh, palette, gctSize)
+            if (r == null) return None
+            frames += r._1
+            i = r._2
           case _ => return None
         }
       }
-      if (!done || i + 10 > b.length) return None
-      // descriptor: 0x2C, left u16, top u16, width u16, height u16, packed
-      val iw = leU16(b, i + 5)
-      val ih = leU16(b, i + 7)
-      val ipacked = b(i + 9) & 0xff
-      if ((ipacked & 0x80) != 0) return None // local color table unsupported
-      if ((ipacked & 0x40) != 0) return None // interlaced unsupported
-      if (iw <= 0 || ih <= 0 || iw != sw || ih != sh) return None
-      i += 10
-      if (i >= b.length) return None
-      val minCodeSize = b(i) & 0xff
-      i += 1
-      if (minCodeSize < 2 || minCodeSize > 8) return None
-      // concatenate data sub-blocks
-      val data = new java.io.ByteArrayOutputStream()
-      while (i < b.length && b(i) != 0) {
-        val len = b(i) & 0xff
-        if (i + 1 + len > b.length) return None
-        data.write(b, i + 1, len)
-        i += 1 + len
-      }
-      val bytes = data.toByteArray
-      // LZW decode into index buffer
-      val nPix = iw * ih
-      val indices = new Array[Byte](nPix)
-      var out = 0
-      val clear = 1 << minCodeSize
-      val eoi = clear + 1
-      // dictionary as prefix/suffix arrays
-      val prefix = new Array[Int](4096)
-      val suffix = new Array[Byte](4096)
-      val stack = new Array[Byte](4097)
-      var dictSize = eoi + 1
-      var codeWidth = minCodeSize + 1
-      var prev = -1
-      var bitPos = 0
-      val totalBits = bytes.length * 8
-      var finished = false
-      while (!finished && out < nPix) {
-        if (bitPos + codeWidth > totalBits) { finished = true }
-        else {
-          // read little-endian bit-packed code
-          var code = 0
-          var k = 0
-          while (k < codeWidth) {
-            val bit = bitPos + k
-            if ((bytes(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
-            k += 1
-          }
-          bitPos += codeWidth
-          if (code == clear) {
-            dictSize = eoi + 1
-            codeWidth = minCodeSize + 1
-            prev = -1
-          } else if (code == eoi) {
-            finished = true
-          } else {
-            // expand a code into `stack` (bytes in reverse); roots are
-            // codes < clear, table entries are >= eoi+1
-            def expand(c0: Int): Int = {
-              var sp = 0
-              var cur = c0
-              while (cur >= eoi + 1) {
-                if (cur >= dictSize || sp >= stack.length - 1) return -1
-                stack(sp) = suffix(cur); sp += 1
-                cur = prefix(cur)
-              }
-              if (cur >= clear) return -1 // clear/eoi inside a chain: corrupt
-              stack(sp) = cur.toByte; sp += 1
-              sp
-            }
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  /** Single-frame convenience view of [[decodeGifFrames]]. */
+  def decodeGifPixels(b: Array[Byte]): Option[PixelImage] =
+    decodeGifFrames(b, maxFrames = 1).flatMap(_.headOption)
+
+  /** One image descriptor + LZW stream starting at `i0` (which points at
+    * the 0x2C separator). Returns (frame, nextIndex) or null on any
+    * unsupported/corrupt shape.
+    */
+  private def decodeOneGifFrame(b: Array[Byte], i0: Int, sw: Int, sh: Int,
+      palette: Array[Byte], gctSize: Int): (PixelImage, Int) = {
+    var i = i0
+    if (i + 10 > b.length) return null
+    // descriptor: 0x2C, left u16, top u16, width u16, height u16, packed
+    val iw = leU16(b, i + 5)
+    val ih = leU16(b, i + 7)
+    val ipacked = b(i + 9) & 0xff
+    if ((ipacked & 0x80) != 0) return null // local color table unsupported
+    if ((ipacked & 0x40) != 0) return null // interlaced unsupported
+    if (iw <= 0 || ih <= 0 || iw != sw || ih != sh) return null // full-frame only
+    i += 10
+    if (i >= b.length) return null
+    val minCodeSize = b(i) & 0xff
+    i += 1
+    if (minCodeSize < 2 || minCodeSize > 8) return null
+    // concatenate data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (i < b.length && b(i) != 0) {
+      val len = b(i) & 0xff
+      if (i + 1 + len > b.length) return null
+      data.write(b, i + 1, len)
+      i += 1 + len
+    }
+    if (i >= b.length) return null
+    i += 1 // block terminator
+    val bytes = data.toByteArray
+    // LZW decode into index buffer
+    val nPix = iw * ih
+    val indices = new Array[Byte](nPix)
+    var out = 0
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    // dictionary as prefix/suffix arrays
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = eoi + 1
+    var codeWidth = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = bytes.length * 8
+    var finished = false
+    while (!finished && out < nPix) {
+      if (bitPos + codeWidth > totalBits) { finished = true }
+      else {
+        // read little-endian bit-packed code
+        var code = 0
+        var k = 0
+        while (k < codeWidth) {
+          val bit = bitPos + k
+          if ((bytes(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
+          k += 1
+        }
+        bitPos += codeWidth
+        if (code == clear) {
+          dictSize = eoi + 1
+          codeWidth = minCodeSize + 1
+          prev = -1
+        } else if (code == eoi) {
+          finished = true
+        } else {
+          // expand a code into `stack` (bytes in reverse); roots are
+          // codes < clear, table entries are >= eoi+1
+          def expand(c0: Int): Int = {
             var sp = 0
-            if (code < dictSize) {
-              sp = expand(code)
-            } else if (code == dictSize && prev >= 0) {
-              // KwKwK: entry = expand(prev) + firstChar(expand(prev))
-              sp = expand(prev)
-              if (sp > 0) {
-                val first = stack(sp - 1) // last pushed = first byte
-                // prepend first at the BOTTOM of the reversed stack
-                System.arraycopy(stack, 0, stack, 1, sp)
-                stack(0) = first
-                sp += 1
-              }
-            } else return None
-            if (sp <= 0) return None
-            if (out + sp > nPix) return None
-            var w = sp - 1
-            while (w >= 0) { indices(out) = stack(w); out += 1; w -= 1 }
-            // new dictionary entry: expand(prev) + first byte just written
-            if (prev >= 0 && dictSize < 4096) {
-              prefix(dictSize) = prev
-              suffix(dictSize) = indices(out - sp) // first byte of this output
-              dictSize += 1
-              if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            var cur = c0
+            while (cur >= eoi + 1) {
+              if (cur >= dictSize || sp >= stack.length - 1) return -1
+              stack(sp) = suffix(cur); sp += 1
+              cur = prefix(cur)
             }
-            prev = code
+            if (cur >= clear) return -1 // clear/eoi inside a chain: corrupt
+            stack(sp) = cur.toByte; sp += 1
+            sp
           }
+          var sp = 0
+          if (code < dictSize) {
+            sp = expand(code)
+          } else if (code == dictSize && prev >= 0) {
+            // KwKwK: entry = expand(prev) + firstChar(expand(prev))
+            sp = expand(prev)
+            if (sp > 0) {
+              val first = stack(sp - 1) // last pushed = first byte
+              // prepend first at the BOTTOM of the reversed stack
+              System.arraycopy(stack, 0, stack, 1, sp)
+              stack(0) = first
+              sp += 1
+            }
+          } else return null
+          if (sp <= 0) return null
+          if (out + sp > nPix) return null
+          var w = sp - 1
+          while (w >= 0) { indices(out) = stack(w); out += 1; w -= 1 }
+          // new dictionary entry: expand(prev) + first byte just written
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = indices(out - sp) // first byte of this output
+            dictSize += 1
+            if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          prev = code
         }
       }
-      if (out != nPix) return None
-      // palette map to RGB
-      val px = new Array[Byte](nPix * 3)
-      var p = 0
-      while (p < nPix) {
-        val idx = indices(p) & 0xff
-        if (idx >= gctSize) return None
-        px(p * 3) = palette(idx * 3)
-        px(p * 3 + 1) = palette(idx * 3 + 1)
-        px(p * 3 + 2) = palette(idx * 3 + 2)
-        p += 1
-      }
-      Some(PixelImage(iw, ih, 3, px))
-    } catch { case _: Exception => None }
+    }
+    if (out != nPix) return null
+    // palette map to RGB
+    val px = new Array[Byte](nPix * 3)
+    var p = 0
+    while (p < nPix) {
+      val idx = indices(p) & 0xff
+      if (idx >= gctSize) return null
+      px(p * 3) = palette(idx * 3)
+      px(p * 3 + 1) = palette(idx * 3 + 1)
+      px(p * 3 + 2) = palette(idx * 3 + 2)
+      p += 1
+    }
+    (PixelImage(iw, ih, 3, px), i)
   }
 
   /** Integer box-filter downscale preserving aspect ratio: output pixel
@@ -932,9 +955,18 @@ object Multimodal {
     * the decoder must recover the exact palette-mapped RGB pixels.
     */
   def makeGifPixels(width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] =
+    makeAnimatedGif(width, height, Seq(indices), palette)
+
+  /** Real animated GIF89a: global palette + one full-size frame per
+    * index plane, each behind a graphic-control extension (fixed 4/100s
+    * delay). Golden-gen only; [[decodeGifFrames]] must recover every
+    * frame's palette-mapped RGB exactly.
+    */
+  def makeAnimatedGif(width: Int, height: Int, frames: Seq[Array[Byte]],
       palette: Array[Byte]): Array[Byte] = {
     require(palette.length == 768, "expect a full 256-entry RGB palette")
-    require(indices.length == width * height)
+    require(frames.nonEmpty && frames.forall(_.length == width * height))
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) } // little-endian
@@ -943,64 +975,78 @@ object Multimodal {
     w8(0x80 | 0x07) // global color table, 256 entries
     w8(0); w8(0)    // bg index, aspect
     out.write(palette)
-    w8(0x2c) // image descriptor
-    w16(0); w16(0); w16(width); w16(height)
-    w8(0) // no local table, not interlaced
-    val mcs = 8
-    w8(mcs)
-    // LZW compress
-    val clear = 1 << mcs
-    val eoi = clear + 1
-    var dictSize = eoi + 1
-    var codeWidth = mcs + 1
-    val dict = new java.util.HashMap[Integer, Integer]()
-    val bits = new java.io.ByteArrayOutputStream()
-    var acc = 0L
-    var nAcc = 0
-    def emit(code: Int): Unit = {
-      acc |= code.toLong << nAcc
-      nAcc += codeWidth
-      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    if (frames.length > 1) {
+      // NETSCAPE2.0 looping application extension (the standard marker
+      // that makes multi-frame GIFs animate; also exercises the
+      // decoder's extension skipping)
+      w8(0x21); w8(0xff); w8(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      w8(3); w8(1); w16(0); w8(0)
     }
-    emit(clear)
-    var cur = indices(0) & 0xff
-    var i = 1
-    while (i < indices.length) {
-      val b = indices(i) & 0xff
-      val key = Integer.valueOf((cur << 8) | b)
-      val hit = dict.get(key)
-      if (hit != null) cur = hit.intValue()
-      else {
-        emit(cur)
-        if (dictSize == 4096) {
-          emit(clear)
-          dict.clear()
-          dictSize = eoi + 1
-          codeWidth = mcs + 1
-        } else {
-          dict.put(key, Integer.valueOf(dictSize))
-          dictSize += 1
-          // the decoder trails one entry behind: it reaches 2^w (and
-          // widens) exactly when our dict holds 2^w + 1 entries
-          if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
-        }
-        cur = b
+    frames.foreach { indices =>
+      if (frames.length > 1) { // graphic control extension per frame
+        w8(0x21); w8(0xf9); w8(4)
+        w8(0); w16(4); w8(0); w8(0) // no disposal, 4/100s delay
       }
-      i += 1
+      w8(0x2c) // image descriptor
+      w16(0); w16(0); w16(width); w16(height)
+      w8(0) // no local table, not interlaced
+      val mcs = 8
+      w8(mcs)
+      // LZW compress
+      val clear = 1 << mcs
+      val eoi = clear + 1
+      var dictSize = eoi + 1
+      var codeWidth = mcs + 1
+      val dict = new java.util.HashMap[Integer, Integer]()
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nAcc = 0
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nAcc
+        nAcc += codeWidth
+        while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+      }
+      emit(clear)
+      var cur = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val b = indices(i) & 0xff
+        val key = Integer.valueOf((cur << 8) | b)
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emit(cur)
+          if (dictSize == 4096) {
+            emit(clear)
+            dict.clear()
+            dictSize = eoi + 1
+            codeWidth = mcs + 1
+          } else {
+            dict.put(key, Integer.valueOf(dictSize))
+            dictSize += 1
+            // the decoder trails one entry behind: it reaches 2^w (and
+            // widens) exactly when our dict holds 2^w + 1 entries
+            if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+          }
+          cur = b
+        }
+        i += 1
+      }
+      emit(cur)
+      emit(eoi)
+      if (nAcc > 0) bits.write((acc & 0xff).toInt)
+      // package into sub-blocks
+      val payload = bits.toByteArray
+      var off = 0
+      while (off < payload.length) {
+        val len = math.min(255, payload.length - off)
+        w8(len)
+        out.write(payload, off, len)
+        off += len
+      }
+      w8(0) // block terminator
     }
-    emit(cur)
-    emit(eoi)
-    if (nAcc > 0) bits.write((acc & 0xff).toInt)
-    // package into sub-blocks
-    val payload = bits.toByteArray
-    var off = 0
-    while (off < payload.length) {
-      val len = math.min(255, payload.length - off)
-      w8(len)
-      out.write(payload, off, len)
-      off += len
-    }
-    w8(0)    // block terminator
     w8(0x3b) // trailer
     out.toByteArray
   }
@@ -1055,4 +1101,75 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
       .select("id", "frame_idx", "n_frames")
+
+  /** REAL frame sampling over animated GIF payloads: decode every frame
+    * (LZW + palette), keep each `stride`-th, emit per-frame dimensions
+    * and a pixel CRC. One row in, a few rows out — the flat-map kernel
+    * shape; undecodable payloads yield one valid=false row so errors
+    * stay data. Frame decode is per-row work: at 100 TB it parallelizes
+    * with the scan like every other kernel here.
+    */
+  def frameSample(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes) match {
+          case Some(frames) =>
+            frames.zipWithIndex
+              .filter { case (_, idx) => idx % stride == 0 }
+              .map { case (f, idx) =>
+                (id, idx, frames.length, f.width, f.height, pixelCrc(f), true)
+              }
+          case None => Seq((id, -1, 0, 0, 0, 0L, false))
+        }
+      }
+      .toDF("id", "frame_idx", "n_frames", "width", "height", "frame_crc", "valid")
+  }
+
+  /** Deterministic animated-GIF golden for row `id`: 3..10 procedural
+    * frames evolving from a base plane. Returns (payload, per-frame
+    * truth RGB images) with truth computed straight from the index
+    * planes + palette (never through the LZW encoder).
+    */
+  def goldenAnimGif(id: Long): (Array[Byte], Seq[PixelImage]) = {
+    var h = id * 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    val w = 16 + Math.floorMod(h, 70).toInt
+    val ht = 16 + Math.floorMod(h >> 16, 70).toInt
+    val nFrames = 3 + Math.floorMod(h >> 32, 8).toInt
+    val palette = new Array[Byte](768)
+    var p = 0
+    while (p < 256) {
+      palette(p * 3) = ((p * 3 + (h >> 8)) & 0xff).toByte
+      palette(p * 3 + 1) = ((p * 17 + (h >> 24)) & 0xff).toByte
+      palette(p * 3 + 2) = ((p * 31 + (h >> 40)) & 0xff).toByte
+      p += 1
+    }
+    val frames = (0 until nFrames).map { f =>
+      val idx = new Array[Byte](w * ht)
+      var i = 0
+      while (i < idx.length) {
+        val y = i / w; val x = i % w
+        // per-frame drift: a moving gradient (motion the sampler sees)
+        idx(i) = ((x / 2 + y * 3 + f * 11 + ((h >> (i % 32)) & 3)) & 0xff).toByte
+        i += 1
+      }
+      idx
+    }
+    val truth = frames.map { idx =>
+      val rgb = new Array[Byte](w * ht * 3)
+      var i = 0
+      while (i < idx.length) {
+        val pi = idx(i) & 0xff
+        rgb(i * 3) = palette(pi * 3)
+        rgb(i * 3 + 1) = palette(pi * 3 + 1)
+        rgb(i * 3 + 2) = palette(pi * 3 + 2)
+        i += 1
+      }
+      PixelImage(w, ht, 3, rgb)
+    }
+    (makeAnimatedGif(w, ht, frames, palette), truth)
+  }
 }

@@ -143,6 +143,24 @@ object GoldenGen {
       "true_out_width", "true_out_height", "true_raw_crc", "true_out_crc")
     writeSingleParquet(px, dir.resolve("media_px.parquet"))
 
+    // animated-GIF frame-sampling golden: payloads in one file, the
+    // per-frame truth (computed from index planes + palette, never
+    // through the LZW encoder) exploded in a sibling file the oracle
+    // reads directly
+    val animIds = (0L until 200L)
+    val animPayloads = spark.createDataset(animIds).map { id =>
+      (id, graft.ops.Multimodal.goldenAnimGif(id)._1)
+    }.toDF("id", "payload")
+    writeSingleParquet(animPayloads, dir.resolve("media_anim.parquet"))
+    val animTruth = spark.createDataset(animIds).flatMap { id =>
+      val (_, frames) = graft.ops.Multimodal.goldenAnimGif(id)
+      frames.zipWithIndex.map { case (f, idx) =>
+        (id, idx, frames.length, f.width, f.height,
+          graft.ops.Multimodal.pixelCrc(f))
+      }
+    }.toDF("id", "frame_idx", "true_n_frames", "true_width", "true_height", "true_crc")
+    writeSingleParquet(animTruth, dir.resolve("media_anim_truth.parquet"))
+
     val av = spark.range(0, 1500).as[Long].map { id =>
       val (payload, kind, ch, sr, dur, tracks) = graft.ops.Multimodal.goldenAv(id)
       (id, payload, kind, ch, sr, dur, tracks)

@@ -319,6 +319,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(Multimodal.makeGif(10, 10)).isEmpty)
   }
 
+  test("animated GIF: every frame round-trips; frameSample keeps the stride") {
+    (0L until 30L).foreach { id =>
+      val (payload, truth) = Multimodal.goldenAnimGif(id)
+      val frames = Multimodal.decodeGifFrames(payload)
+      assert(frames.isDefined, s"id=$id failed to decode")
+      assert(frames.get.length == truth.length, s"id=$id frame count")
+      frames.get.zip(truth).zipWithIndex.foreach { case ((d, t), i) =>
+        assert(java.util.Arrays.equals(d.pixels, t.pixels), s"id=$id frame=$i")
+      }
+    }
+    // sampling semantics over the DataFrame kernel
+    val media = Seq((7L, Multimodal.goldenAnimGif(7L)._1),
+      (9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.frameSample(media, stride = 2)
+      .orderBy("id", "frame_idx").collect()
+    val nTruth = Multimodal.goldenAnimGif(7L)._2.length
+    val sampled = out.filter(_.getLong(0) == 7L)
+    assert(sampled.forall(_.getBoolean(6)))
+    assert(sampled.map(_.getInt(1)).toSeq == (0 until nTruth by 2).toSeq)
+    // corrupt payload: one errors-as-data row
+    val bad = out.filter(_.getLong(0) == 9L)
+    assert(bad.length == 1 && !bad(0).getBoolean(6))
+    // single-frame view still works through decodeGifPixels
+    assert(Multimodal.decodeGifPixels(Multimodal.goldenAnimGif(3L)._1).isDefined)
+  }
+
   test("JPEG pixel path: huffman/DCT round-trip equals coefficient-derived truth") {
     (500L until 540L).foreach { id =>
       val (payload, truth) = Multimodal.goldenJpeg(id)
