@@ -693,6 +693,22 @@ object Extractors {
     null
   }
 
+  // visible-byline class/id pattern (newspaper heuristic). Compiled once;
+  // the substring prefilter below skips the regex for the overwhelming
+  // majority of elements.
+  private val bylineRe = Pattern.compile("byline|author|\\bbyl\\b")
+
+  /** class/id attr match for the byline walk — equivalent to running
+    * bylineRe over the old lowercased "class id" concatenation (the
+    * patterns contain no spaces, so per-attribute matching sees the
+    * same word boundaries), without the per-element concat allocation.
+    */
+  private def bylineAttrHit(s: String): Boolean = {
+    if (s == null || s.isEmpty) return false
+    val lc = s.toLowerCase(java.util.Locale.ROOT)
+    (lc.contains("byl") || lc.contains("author")) && bylineRe.matcher(lc).find()
+  }
+
   private def authors(dom: Dom, meta: NewsMeta): String = {
     val found = scala.collection.mutable.LinkedHashSet.empty[String]
     for (v <- Seq(meta.metaAuthor, meta.metaByl, meta.metaDcCreator,
@@ -700,13 +716,11 @@ object Extractors {
       if (v != null) found += v
     if (found.isEmpty) {
       // visible byline: class/id/rel containing author|byline|byl
-      val bylineRe = Pattern.compile("byline|author|\\bbyl\\b")
       var hit = -1
       dom.walk(0) { n =>
         if (hit < 0 && dom.isElem(n)) {
-          val ci = classId(dom, n)
           val rel = dom.attr(n, "rel")
-          if ((ci.nonEmpty && bylineRe.matcher(ci).find()) ||
+          if (bylineAttrHit(dom.attr(n, "class")) || bylineAttrHit(dom.attr(n, "id")) ||
               (rel != null && rel.equalsIgnoreCase("author"))) hit = n
         }
         hit < 0

@@ -20,7 +20,11 @@ package graft.ops
   */
 object Jpeg {
 
-  // ---- standard Annex K quantization tables (quality 50 base) ----
+  // ---- standard quantization tables (quality 50 base) ----
+  // The quant matrices, bits/values huffman specs and zigzag order below
+  // are the NORMATIVE example tables of the JPEG standard (ITU-T T.81 /
+  // ISO 10918-1, Annex K.1-K.3) — fixed public constants every baseline
+  // codec ships verbatim, not code derived from any implementation.
   val qLuma: Array[Int] = Array(
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
