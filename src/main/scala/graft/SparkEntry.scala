@@ -129,6 +129,27 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    "asof_join" -> ((s, dir) => {
+      // as-of join (time-series enrichment Spark lacks natively):
+      // each purchase matched to the user's prevailing view value at
+      // purchase time. Composed as union + one keyed window (ONE shuffle,
+      // the same cost a native ASOF strategy would pay); the oracle is
+      // DuckDB's native ASOF LEFT JOIN — a genuinely independent
+      // implementation of the operator's semantics.
+      val ev = t(s, dir, "events")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val build = graft.ops.AsofJoin.latestPerKeyTime(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value")
+      graft.ops.AsofJoin.asofJoin(probe, build, "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("purchase_value"),
+          round(col("asof_value"), 2).as("last_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "stream_sessions" -> ((s, dir) =>
       // stateful streaming sessionizer (flatMapGroupsWithState +
       // event-time timeout): emitted closed sessions equal the batch
@@ -800,6 +821,20 @@ object SparkEntry {
       """SELECT date_trunc('day', ts)::DATE AS day, event_type,
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |build AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  round(p.value, 2) AS purchase_value,
+        |  round(b.value, 2) AS last_view_value
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "stream_sessions" ->
       """WITH e AS (

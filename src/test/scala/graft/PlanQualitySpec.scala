@@ -176,6 +176,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("asof_join plans ONE keyed exchange and no join operator") {
+    // the union-window composition must cost exactly ONE key-only hash
+    // shuffle (the window exchange — what a native ASOF strategy would
+    // pay); the build side's (key, time) dedup pre-agg and the final
+    // orderBy range exchange are separate and expected. Any *Join
+    // operator means the composition regressed to an actual join.
+    val plan = SparkEntry.queries("asof_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof composition regressed to a join:\n$plan")
+    val keyOnly = """Exchange hashpartitioning\(user_id#\d+L?, \d+\)""".r
+      .findAllIn(plan).size
+    assert(keyOnly == 1, s"expected 1 key-only exchange, got $keyOnly:\n$plan")
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

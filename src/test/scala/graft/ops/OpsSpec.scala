@@ -25,6 +25,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getLong(0) == 1 && out(0).getLong(2) == 2) // min id, dup_count
   }
 
+  test("asofJoin: prevailing build row per probe, <= tie rule, null before first") {
+    val probe = Seq(
+      (1L, 10L, 100L, 1.0), // before any build row -> null
+      (2L, 10L, 200L, 2.0), // exactly at build ts 200 -> matches it (>= tie)
+      (3L, 10L, 350L, 3.0), // between 300 and 400 -> 300's payload
+      (4L, 20L, 500L, 4.0)  // other key, after its only build row
+    ).toDF("event_id", "user_id", "ts", "value")
+    val build = Seq(
+      (10L, 200L, 11.0), (10L, 300L, 12.0), (10L, 400L, 13.0),
+      (20L, 100L, 21.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsofJoin.asofJoin(probe, build, "user_id", "ts", "value")
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(4))
+    assert(out(1).getDouble(4) == 11.0)
+    assert(out(2).getDouble(4) == 12.0)
+    assert(out(3).getDouble(4) == 21.0)
+    // duplicate build timestamps collapse deterministically (max payload)
+    val dup = Seq((10L, 200L, 5.0), (10L, 200L, 9.0)).toDF("user_id", "ts", "value")
+    val collapsed = AsofJoin.latestPerKeyTime(dup, "user_id", "ts", "value").collect()
+    assert(collapsed.length == 1 && collapsed(0).getDouble(2) == 9.0)
+  }
+
   test("shingle tokenizer splits on Python whitespace (NBSP et al.) like its oracle") {
     // the dedup oracles split on the pyWs RE2 class; the kernel must
     // produce the identical shingle set for text where the two classes
