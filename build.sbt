@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

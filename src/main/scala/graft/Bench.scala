@@ -90,16 +90,17 @@ object Bench {
       Thread.sleep(500)
       scalePages / secs.min
     }
-    // levels are visited INTERLEAVED (low, high, low, high) and each
+    // levels are visited INTERLEAVED (low, high, low, high, ...) and each
     // level reports its best visit: a slow host phase (shared sandbox)
     // then penalizes both levels equally instead of corrupting the
-    // ratio, which is what the efficiency metric actually is
+    // ratio, which is what the efficiency metric actually is. Three
+    // visits: observed host drift is minutes-scale, so more visits =
+    // more chances both levels sample the same clean window.
     val (rateLow, rateHigh, ratePeak) =
       if (mode == "queries") (1.0, 1.0, 1.0)
       else {
-        val l1 = extractionRate(nLow); val h1 = extractionRate(nHigh)
-        val l2 = extractionRate(nLow); val h2 = extractionRate(nHigh)
-        (math.max(l1, l2), math.max(h1, h2), extractionRate(cpus))
+        val visits = (1 to 3).map(_ => (extractionRate(nLow), extractionRate(nHigh)))
+        (visits.map(_._1).max, visits.map(_._2).max, extractionRate(cpus))
       }
     val efficiency = (rateHigh / rateLow) / (nHigh.toDouble / nLow)
 
