@@ -150,6 +150,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "interval_join" -> ((s, dir) => {
+      // range join via time-bucket decomposition (a raw BETWEEN join
+      // predicate plans as a nested-loop/cartesian — the classic trap):
+      // every error event attributed to the gap-session containing it.
+      // The oracle is the plain SQL BETWEEN join DuckDB can afford at
+      // this scale.
+      val sessions = queries("events_sessionize")(s, dir)
+        .select(col("user_id"), col("session_id"), col("start_ts"), col("end_ts"))
+      val errors = t(s, dir, "events").where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.RangeJoin
+        .bucketIntervalJoin(errors, sessions, "user_id", "ts", "start_ts", "end_ts")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_errors"), min(col("event_id")).as("first_error_id"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "stream_sessions" -> ((s, dir) =>
       // stateful streaming sessionizer (flatMapGroupsWithState +
       // event-time timeout): emitted closed sessions equal the batch
@@ -821,6 +838,30 @@ object SparkEntry {
       """SELECT date_trunc('day', ts)::DATE AS day, event_type,
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM e),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM s GROUP BY 1, 2),
+        |err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT sess.user_id, sess.session_id,
+        |  count(*) AS n_errors, min(err.event_id) AS first_error_id
+        |FROM err JOIN sess
+        |  ON err.user_id = sess.user_id
+        | AND err.ts BETWEEN sess.start_ts AND sess.end_ts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "asof_join" ->
       """WITH probe AS (

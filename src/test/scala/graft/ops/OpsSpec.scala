@@ -48,6 +48,26 @@ class OpsSpec extends AnyFunSuite {
     assert(collapsed.length == 1 && collapsed(0).getDouble(2) == 9.0)
   }
 
+  test("bucketIntervalJoin: containment matches, bucket-boundary spans, no dups") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // helper: ms precision
+    val W = 1000000L // 1s buckets for the test
+    val points = Seq(
+      (1L, 10L, ts(500000L)),   // inside interval A
+      (2L, 10L, ts(2500000L)),  // inside interval B (which spans buckets)
+      (3L, 10L, ts(9000000L)),  // no interval
+      (4L, 20L, ts(500000L))    // other key, no interval
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (10L, 100L, ts(0L), ts(900000L)),        // A: within one bucket
+      (10L, 101L, ts(1800000L), ts(4200000L))  // B: spans buckets 1..4
+    ).toDF("user_id", "session_id", "start_ts", "end_ts")
+    val out = RangeJoin.bucketIntervalJoin(points, intervals,
+        "user_id", "ts", "start_ts", "end_ts", bucketWidthUs = W)
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 100L), (2L, 101L))) // exactly once each
+  }
+
   test("shingle tokenizer splits on Python whitespace (NBSP et al.) like its oracle") {
     // the dedup oracles split on the pyWs RE2 class; the kernel must
     // produce the identical shingle set for text where the two classes
