@@ -325,6 +325,17 @@ object SparkEntry {
         k = 10, nprobe = 4)
     }),
 
+    "ann_pq" -> ((s, dir) => {
+      // product quantization (the faiss IVF+PQ compression leg): vectors
+      // become m=8 one-byte codes against committed per-subspace
+      // codebooks; queries score via ADC lookup tables. The oracle
+      // re-derives codes AND the decomposed cosine from the same
+      // codebook literals in SQL.
+      val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+      val enc = graft.ops.Pq.encode(t(s, dir, "embeddings"), cb)
+      graft.ops.Pq.adcTopK(enc, cb, anchorVec(s, dir), k = 10)
+    }),
+
     "neardup_lsh" -> ((s, dir) =>
       // the SCALE path for embedding near-dup (multi-table hyperplane
       // LSH buckets → candidate pairs → exact cosine verify): shuffles
@@ -668,6 +679,48 @@ object SparkEntry {
          |SELECT vec_id,
          |  floor(list_cosine_similarity(v, (SELECT qv FROM q)) * 10000)::BIGINT AS score_bp
          |FROM cells WHERE cell IN (SELECT cell FROM probes)
+         |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_pq" -> {
+      // PQ codes and the ADC-decomposed cosine recomputed in SQL from
+      // the committed codebook artifact: per subspace, code = first-min
+      // L2 over the 16 inlined sub-centroids (list_position == the
+      // kernel's strict-< rule; sqrt is monotone so list_distance's
+      // argmin equals the kernel's squared-L2 argmin); then
+      // dot(q, recon) = sum of per-subspace dot lookups and
+      // ||recon||^2 = sum of per-subspace norm literals (precomputed in
+      // Scala, so both sides use identical binary64 values).
+      val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+      val m = cb.length
+      val subDim = cb(0)(0).length
+      def lit(c: Array[Double]) = c.mkString("[", ", ", "]")
+      def slice(s: Int, v: String) = s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+      val dlCols = (0 until m).map { s =>
+        cb(s).map(c => s"list_distance(${slice(s, "v")}, ${lit(c)})")
+          .mkString("[", ", ", "]") + s" AS dl$s"
+      }.mkString(", ")
+      val codeCols = (0 until m)
+        .map(s => s"list_position(dl$s, list_min(dl$s)) - 1 AS code$s").mkString(", ")
+      val cbLits = (0 until m).map(s => cb(s).map(lit).mkString("[", ", ", "]"))
+      val normLits = (0 until m).map { s =>
+        cb(s).map { c =>
+          var n = 0.0; var i = 0
+          while (i < c.length) { n += c(i) * c(i); i += 1 }
+          n.toString
+        }.mkString("[", ", ", "]")
+      }
+      val dotSum = (0 until m)
+        .map(s => s"list_dot_product(${slice(s, "qv")}, ${cbLits(s)}[code$s + 1])")
+        .mkString(" + ")
+      val nrmSum = (0 until m).map(s => s"${normLits(s)}[code$s + 1]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, v, $dlCols FROM e),
+         |c AS (SELECT vec_id, $codeCols FROM d),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  floor(($dotSum) / (sqrt(list_dot_product(qv, qv)) * sqrt($nrmSum)) * 10000)::BIGINT AS score_bp
+         |FROM c, q
          |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
     },
 

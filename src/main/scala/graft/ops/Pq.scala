@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the production shape for 100 TB embedding
+  * search (faiss IVF+PQ): vectors compress to `m` one-byte codes (one
+  * per subspace, nearest sub-centroid by L2), and queries score against
+  * codes via asymmetric distance computation (ADC) — per-subspace
+  * lookup tables built once per query, no vector reconstruction in the
+  * hot loop. A 64-dim float vector becomes 8 bytes: 32× compression,
+  * which is what makes a 10^9-vector index fit a cluster's memory.
+  *
+  * Scoring here is cosine against the RECONSTRUCTION (concatenated
+  * sub-centroids), decomposed exactly: dot(q, recon) = Σ_m dot(q_m, c_m)
+  * and ||recon||² = Σ_m ||c_m||² — both per-subspace table lookups. The
+  * decomposition is what the DuckDB oracle recomputes from the same
+  * committed codebook literals.
+  *
+  * Codebooks train offline on a bounded sample (deterministic Lloyd,
+  * same discipline as Similarity.kmeansTrainSample) and are committed
+  * as a text artifact.
+  */
+object Pq {
+
+  /** codebooks(s)(j) = centroid j of subspace s (subDim doubles). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Deterministic per-subspace Lloyd training on the first
+    * `sampleSize` vectors (vec_id order). Assignment = L2, ties to the
+    * lowest index (strict <, first wins — the SQL list_position-of-min
+    * rule); update = plain mean; empty cluster keeps its centroid.
+    */
+  def train(embeddings: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 5,
+      sampleSize: Int = 4096): Codebooks = {
+    val sample = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      var centroids = Array.tabulate(k)(j => subs(j * subs.length / k).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        var i = 0
+        while (i < subs.length) {
+          val c = nearestSub(subs(i), centroids)
+          var d = 0
+          while (d < subDim) { sums(c)(d) += subs(i)(d); d += 1 }
+          counts(c) += 1
+          i += 1
+        }
+        centroids = Array.tabulate(k)(j =>
+          if (counts(j) == 0) centroids(j) else sums(j).map(_ / counts(j)))
+        it += 1
+      }
+      centroids
+    }
+  }
+
+  /** argmin-L2 with the first-minimal tie rule (strict <). */
+  private def nearestSub(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(j)(i); d += x * x; i += 1 }
+      if (d < bestD) { best = j; bestD = d }
+      j += 1
+    }
+    best
+  }
+
+  /** Encode every vector to its m byte codes — one shuffle-free map
+    * (codebooks ride the closure: m*k*subDim doubles).
+    */
+  def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val codes = new Array[Byte](m)
+        var s = 0
+        while (s < m) {
+          val sub = new Array[Double](subDim)
+          var i = 0
+          while (i < subDim) { sub(i) = v(s * subDim + i); i += 1 }
+          codes(s) = nearestSub(sub, cb(s)).toByte
+          s += 1
+        }
+        (id, codes)
+      })
+      .toDF("vec_id", "codes")
+  }
+
+  /** ADC top-k over an encoded index: per-subspace dot and norm lookup
+    * tables built ONCE from the query (m*k doubles), then each candidate
+    * costs m byte-indexed adds. Returns (vec_id, score_bp) with the
+    * floor-basis-point cosine vs the reconstruction.
+    */
+  def adcTopK(encoded: DataFrame, cb: Codebooks, query: Array[Float],
+      k: Int = 10): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val q = query.map(_.toDouble)
+    var qn = 0.0
+    q.foreach(x => qn += x * x)
+    val qNorm = math.sqrt(qn)
+    // lookup tables: dot(q_s, c) and ||c||^2 per (subspace, code)
+    val dotT = Array.tabulate(m, cb(0).length) { (s, j) =>
+      var d = 0.0
+      var i = 0
+      while (i < subDim) { d += q(s * subDim + i) * cb(s)(j)(i); i += 1 }
+      d
+    }
+    val normT = Array.tabulate(m, cb(0).length) { (s, j) =>
+      var n = 0.0
+      var i = 0
+      while (i < subDim) { n += cb(s)(j)(i) * cb(s)(j)(i); i += 1 }
+      n
+    }
+    encoded.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, codes) =>
+        var dot = 0.0
+        var nrm = 0.0
+        var s = 0
+        while (s < m) {
+          val c = codes(s) & 0xff
+          dot += dotT(s)(c)
+          nrm += normT(s)(c)
+          s += 1
+        }
+        val denom = qNorm * math.sqrt(nrm)
+        val score = if (denom == 0.0) 0.0 else dot / denom
+        (id, math.floor(score * 10000).toLong)
+      })
+      .toDF("vec_id", "score_bp")
+      .orderBy(desc("score_bp"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Codebooks ↔ committed text artifact: one line per sub-centroid,
+    * `s,j,v1,...,vD` (Double.toString round-trips, so SQL literals built
+    * from the file equal the kernel's binary64 values).
+    */
+  def toLines(cb: Codebooks): String = {
+    val sb = new StringBuilder
+    for (s <- cb.indices; j <- cb(s).indices)
+      sb.append(s).append(',').append(j).append(',')
+        .append(cb(s)(j).mkString(",")).append('\n')
+    sb.toString
+  }
+
+  def fromFile(path: String): Codebooks = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8").split("\n").filter(_.nonEmpty)
+    val parsed = lines.map { l =>
+      val parts = l.split(",")
+      (parts(0).toInt, parts(1).toInt, parts.drop(2).map(_.toDouble))
+    }
+    val m = parsed.map(_._1).max + 1
+    val k = parsed.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, k)
+    parsed.foreach { case (s, j, v) => cb(s)(j) = v }
+    cb
+  }
+}

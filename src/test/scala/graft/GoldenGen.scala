@@ -107,6 +107,13 @@ object GoldenGen {
       graft.ops.Similarity.centroidsToLines(centroids)
         .getBytes(StandardCharsets.UTF_8))
 
+    // PQ codebooks: per-subspace quantizers trained once on the sf0.01
+    // sample, committed as text (the ann_pq oracle inlines them)
+    val pqCb = graft.ops.Pq.train(
+      spark.read.parquet(s"$sf001/embeddings.parquet"), m = 8, k = 64, iters = 5)
+    Files.write(dir.resolve("pq_codebooks.txt"),
+      graft.ops.Pq.toLines(pqCb).getBytes(StandardCharsets.UTF_8))
+
     val pdfs = spark.range(0, 1000).as[Long].map { id =>
       val (payload, text, np) = graft.extract.PdfExtract.goldenPdf(id)
       (id, payload, text, np)

@@ -184,6 +184,34 @@ class OpsSpec extends AnyFunSuite {
     decoded.unpersist()
   }
 
+  test("PQ ANN: deterministic codebooks, 32x compression, sane recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Pq.train(emb, m = 8, k = 64, iters = 4)
+    val again = Pq.train(emb, m = 8, k = 64, iters = 4)
+    assert(cb.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // artifact round-trip is exact
+    val back = {
+      val f = java.nio.file.Files.createTempFile("pq", ".txt")
+      java.nio.file.Files.writeString(f, Pq.toLines(cb))
+      Pq.fromFile(f.toString)
+    }
+    assert(cb.zip(back).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val enc = Pq.encode(emb, cb).cache()
+    assert(enc.count() == emb.count())
+    // 8 bytes per 64-float vector = 32x compression
+    assert(enc.select("codes").collect().forall(_.getAs[Array[Byte]](0).length == 8))
+    val q = emb.where(col("vec_id") === 3)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val pq = Pq.adcTopK(enc, cb, q, 10).collect().map(_.getLong(0)).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall collapsed: $recall") // lossy, but not random
+    assert(pq.contains(3L), "the query's own (quantized) vector must rank top-10")
+    enc.unpersist()
+  }
+
   test("IVF ANN: probing every cell equals brute force; partial probe keeps recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansTrainSample(emb, k = 8, iters = 4)
