@@ -336,6 +336,19 @@ object SparkEntry {
       graft.ops.Pq.adcTopK(enc, cb, anchorVec(s, dir), k = 10)
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF + PQ composed (coarse cell pruning, then ADC over byte
+      // codes): the index build is ONE shuffle-free pass emitting
+      // (vec_id, cell, codes); a query touches ~nprobe/k of the corpus
+      // at 32x-compressed width — the 10^9-vector serving shape
+      val centroids = graft.ops.Similarity
+        .centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+      val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+      val idx = graft.ops.Pq.ivfPqIndex(t(s, dir, "embeddings"), centroids, cb)
+      graft.ops.Pq.ivfPqTopK(idx, centroids, cb, anchorVec(s, dir),
+        k = 10, nprobe = 4)
+    }),
+
     "neardup_lsh" -> ((s, dir) =>
       // the SCALE path for embedding near-dup (multi-table hyperplane
       // LSH buckets → candidate pairs → exact cosine verify): shuffles
@@ -515,6 +528,39 @@ object SparkEntry {
     })
   )
 
+  /** SQL fragments for PQ code derivation + ADC scoring, built from the
+    * committed codebook artifact (shared by ann_pq and ann_ivfpq; the
+    * `d` CTE must expose `v`, the `q` CTE must expose `qv`).
+    */
+  private final case class PqSql(dlCols: String, codeCols: String, scoreBp: String)
+  private def pqSqlParts(): PqSql = {
+    val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    def lit(c: Array[Double]) = c.mkString("[", ", ", "]")
+    def slice(s: Int, v: String) = s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val dlCols = (0 until m).map { s =>
+      cb(s).map(c => s"list_distance(${slice(s, "v")}, ${lit(c)})")
+        .mkString("[", ", ", "]") + s" AS dl$s"
+    }.mkString(", ")
+    val codeCols = (0 until m)
+      .map(s => s"list_position(dl$s, list_min(dl$s)) - 1 AS code$s").mkString(", ")
+    val cbLits = (0 until m).map(s => cb(s).map(lit).mkString("[", ", ", "]"))
+    val normLits = (0 until m).map { s =>
+      cb(s).map { c =>
+        var n = 0.0; var i = 0
+        while (i < c.length) { n += c(i) * c(i); i += 1 }
+        n.toString
+      }.mkString("[", ", ", "]")
+    }
+    val dotSum = (0 until m)
+      .map(s => s"list_dot_product(${slice(s, "qv")}, ${cbLits(s)}[code$s + 1])")
+      .mkString(" + ")
+    val nrmSum = (0 until m).map(s => s"${normLits(s)}[code$s + 1]").mkString(" + ")
+    PqSql(dlCols, codeCols,
+      s"floor(($dotSum) / (sqrt(list_dot_product(qv, qv)) * sqrt($nrmSum)) * 10000)::BIGINT AS score_bp")
+  }
+
   /** Python-\s character class in RE2 syntax — the oracle-side twin of
     * PyText.isPySpace. The dedup-family kernels tokenize with isPySpace
     * (NBSP & co. split tokens — the right call for HTML-extracted text),
@@ -685,41 +731,45 @@ object SparkEntry {
     "ann_pq" -> {
       // PQ codes and the ADC-decomposed cosine recomputed in SQL from
       // the committed codebook artifact: per subspace, code = first-min
-      // L2 over the 16 inlined sub-centroids (list_position == the
+      // L2 over the inlined sub-centroids (list_position == the
       // kernel's strict-< rule; sqrt is monotone so list_distance's
       // argmin equals the kernel's squared-L2 argmin); then
       // dot(q, recon) = sum of per-subspace dot lookups and
       // ||recon||^2 = sum of per-subspace norm literals (precomputed in
       // Scala, so both sides use identical binary64 values).
-      val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
-      val m = cb.length
-      val subDim = cb(0)(0).length
-      def lit(c: Array[Double]) = c.mkString("[", ", ", "]")
-      def slice(s: Int, v: String) = s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
-      val dlCols = (0 until m).map { s =>
-        cb(s).map(c => s"list_distance(${slice(s, "v")}, ${lit(c)})")
-          .mkString("[", ", ", "]") + s" AS dl$s"
-      }.mkString(", ")
-      val codeCols = (0 until m)
-        .map(s => s"list_position(dl$s, list_min(dl$s)) - 1 AS code$s").mkString(", ")
-      val cbLits = (0 until m).map(s => cb(s).map(lit).mkString("[", ", ", "]"))
-      val normLits = (0 until m).map { s =>
-        cb(s).map { c =>
-          var n = 0.0; var i = 0
-          while (i < c.length) { n += c(i) * c(i); i += 1 }
-          n.toString
-        }.mkString("[", ", ", "]")
-      }
-      val dotSum = (0 until m)
-        .map(s => s"list_dot_product(${slice(s, "qv")}, ${cbLits(s)}[code$s + 1])")
-        .mkString(" + ")
-      val nrmSum = (0 until m).map(s => s"${normLits(s)}[code$s + 1]").mkString(" + ")
+      val p = pqSqlParts()
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |d AS (SELECT vec_id, v, $dlCols FROM e),
-         |c AS (SELECT vec_id, $codeCols FROM d),
+         |d AS (SELECT vec_id, v, ${p.dlCols} FROM e),
+         |c AS (SELECT vec_id, ${p.codeCols} FROM d),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  floor(($dotSum) / (sqrt(list_dot_product(qv, qv)) * sqrt($nrmSum)) * 10000)::BIGINT AS score_bp
+         |SELECT vec_id, ${p.scoreBp}
+         |FROM c, q
+         |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_ivfpq" -> {
+      // the composed faiss production shape: IVF cell pruning (same
+      // centroid literals + first-max tie rule as ann_ivf) over
+      // PQ-coded vectors, ADC-rescored — both stages recomputed in SQL
+      val cs = graft.ops.Similarity
+        .centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+      val ivfScores = cs
+        .map(c => s"list_cosine_similarity(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ", ", "]")
+      val p = pqSqlParts()
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT vec_id, v, $ivfScores AS s FROM e),
+         |cells AS (SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell
+         |          FROM scored),
+         |q AS (SELECT s AS qs, v AS qv FROM scored WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cell FROM (
+         |    SELECT unnest(qs) AS sc, unnest(range(0, len(qs))) AS cell FROM q)
+         |  ORDER BY sc DESC, cell LIMIT 4),
+         |d AS (SELECT vec_id, v, ${p.dlCols} FROM cells
+         |      WHERE cell IN (SELECT cell FROM probes)),
+         |c AS (SELECT vec_id, ${p.codeCols} FROM d)
+         |SELECT vec_id, ${p.scoreBp}
          |FROM c, q
          |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
     },

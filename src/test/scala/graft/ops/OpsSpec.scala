@@ -212,6 +212,28 @@ class OpsSpec extends AnyFunSuite {
     enc.unpersist()
   }
 
+  test("IVF+PQ: composed pruning+compression; full-probe equals pure PQ") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.kmeansTrainSample(emb, k = 8, iters = 4)
+    val cb = Pq.train(emb, m = 8, k = 64, iters = 4)
+    val idx = Pq.ivfPqIndex(emb, centroids, cb).cache()
+    assert(idx.count() == emb.count())
+    val q = emb.where(col("vec_id") === 3)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    // probing every cell must equal pure-PQ ADC (pruning only removes)
+    val full = Pq.ivfPqTopK(idx, centroids, cb, q, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pure = Pq.adcTopK(Pq.encode(emb, cb), cb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == pure)
+    // partial probe keeps most of the full-probe result
+    val partial = Pq.ivfPqTopK(idx, centroids, cb, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (full.map(_._1).toSet & partial).size.toDouble / full.size
+    assert(recall >= 0.5, s"ivfpq partial-probe recall=$recall")
+    idx.unpersist()
+  }
+
   test("IVF ANN: probing every cell equals brute force; partial probe keeps recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansTrainSample(emb, k = 8, iters = 4)
