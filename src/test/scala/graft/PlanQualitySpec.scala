@@ -176,6 +176,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's runtime row-level filtering: a selective dim side injects a
+    // bloom filter into the fact scan, cutting shuffle volume — a
+    // first-order lever at 100 TB. Thresholds lowered so the sf-scale
+    // fixture qualifies as a creation side.
+    val conf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT") // selective dim side
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("asof_join plans ONE keyed exchange and no join operator") {
     // the union-window composition must cost exactly ONE key-only hash
     // shuffle (the window exchange — what a native ASOF strategy would
