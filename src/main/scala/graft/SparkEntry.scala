@@ -352,11 +352,14 @@ object SparkEntry {
     "neardup_lsh" -> ((s, dir) =>
       // the SCALE path for embedding near-dup (multi-table hyperplane
       // LSH buckets → candidate pairs → exact cosine verify): shuffles
-      // (table, bucket, id) triples, never the full pair matrix. The
-      // oracle recomputes the identical buckets with the plane
-      // constants inlined — parity holds whatever the probe recall.
-      graft.ops.Similarity.lshNearDupPairs(
-          t(s, dir, "embeddings"), threshold = 0.4, bits = 8, tables = 8)
+      // (table, bucket, id) triples, never the full pair matrix.
+      // SELF-SIZING: bits/tables derive from the corpus count via
+      // Similarity.lshSizing (buckets ≈ n/8, tables scaled to hold
+      // recall) — fixed bits=8 measured 24.8× cost at 10× data. The
+      // oracle inlines the plane set the SAME rule yields at the
+      // driver's sf0.01 tier (500 vectors → bits=8, tables=8).
+      graft.ops.Similarity.lshNearDupPairsAuto(
+          t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     "rag_topk" -> ((s, dir) => {
@@ -457,6 +460,37 @@ object SparkEntry {
           graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    "token_bpe" -> ((s, dir) =>
+      // REAL post-merge BPE token counts: greedy lowest-rank merges
+      // from the committed offline-trained artifact (the quantizer
+      // discipline — Bpe.train ran once, golden/bpe_merges.txt is the
+      // artifact). Oracle = golden generated by the INDEPENDENT Python
+      // reimplementation tools/bpe_expected.py from the same artifact.
+      graft.text.Bpe.tokenCountDf(t(s, dir, "documents"),
+          graft.text.Bpe.fromFile(s"$goldenDir/bpe_merges.txt"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_substring" -> ((s, dir) =>
+      // cross-document SUBSTRING dedup over winnowing fingerprints:
+      // inverted index on the fps -> diagonal-island extend-verify, all
+      // relational (only (fp, id, pos) triples shuffle). The oracle
+      // re-mines pairs IN SQL from the winnow golden.
+      graft.ops.Dedup.substringDupPairs(t(s, dir, "documents"),
+          minSharedFps = 4, maxDocFreq = 64, minRun = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "contamination_check" -> ((s, dir) => {
+      // eval-set contamination: held-out eval = every doc_id % 29 == 3
+      // (deterministic synthetic split — no external data); train = the
+      // rest. Eval shingles broadcast; train never shuffles.
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationCheck(
+          docs.where(col("doc_id") % 29 =!= 3),
+          docs.where(col("doc_id") % 29 === 3),
+          minShared = 2, maxDocFreq = 64)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     "text_normalize" -> ((s, dir) =>
       // the reference's normalize_whitespace processor over extraction
       // output shape (processors/base.py:41-61) — Python \s semantics
@@ -497,7 +531,7 @@ object SparkEntry {
       // columns of the same parquet — a genuine dual-derivation check
       val media = s.read.parquet(s"$goldenDir/media.parquet")
         .select(col("id"), col("payload"))
-      graft.ops.Multimodal.resizeStub(graft.ops.Multimodal.decode(media))
+      graft.ops.Multimodal.aspectFit(graft.ops.Multimodal.decode(media))
         .select(col("id"), col("kind"), col("width"), col("height"),
           col("channels"), col("valid"), col("out_width"), col("out_height"))
         .orderBy(col("id"))
@@ -775,10 +809,15 @@ object SparkEntry {
     },
 
     "neardup_lsh" -> {
-      // same inlined-plane technique as ann_lsh, over the 8 independent
-      // tables (tableSignatures uses plane ids t*bits + p + 1000)
-      val bits = 8
-      val tables = 8
+      // same inlined-plane technique as ann_lsh, over `tables`
+      // independent tables (tableSignatures uses plane ids
+      // t*bits + p + 1000). The sizing is NOT frozen here: it is
+      // Similarity.lshSizing applied to the driver tier's embedding
+      // count (sf0.01 = 500 rows → (8, 8)), i.e. the exact same
+      // deterministic rule the registered self-sizing query applies at
+      // runtime — regenerate sf001EmbeddingRows if the tier changes.
+      val sf001EmbeddingRows = 500L
+      val (bits, tables) = graft.ops.Similarity.lshSizing(sf001EmbeddingRows)
       val sigExprs = (0 until tables).map { tt =>
         (0 until bits).map { p =>
           s"(CASE WHEN list_dot_product(v, ${graft.ops.Similarity.hyperplaneSqlLiteral(tt * bits + p + 1000, 64)}) >= 0 THEN ${1 << p} ELSE 0 END)"
@@ -909,6 +948,64 @@ object SparkEntry {
         |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
         |len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+|[ \t\n\r]+'))::BIGINT AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // real BPE counts: golden from the INDEPENDENT Python derivation
+    // (tools/bpe_expected.py — own pretokenizer + merge loop over the
+    // same committed merges artifact the kernel consumes)
+    "token_bpe" ->
+      (s"SELECT doc_id, bpe_tokens " +
+        s"FROM read_parquet('$goldenDir/bpe_sf001.parquet') ORDER BY doc_id"),
+
+    "dedup_substring" ->
+      // the pair-mining logic re-derived IN SQL from the committed
+      // winnow golden: df cap, inverted-index self-join, diagonal
+      // islands (ia - row_number) for the longest shared fp run
+      (s"""WITH fps AS (SELECT doc_id, fp_index, fp
+        |  FROM read_parquet('$goldenDir/winnow_sf001.parquet')),""".stripMargin + """
+        |hot AS (SELECT fp FROM (
+        |  SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp) WHERE df > 64),
+        |f AS (SELECT * FROM fps ANTI JOIN hot USING (fp)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        a.fp_index AS ia, b.fp_index AS ib, a.fp AS fp
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id_a, id_b, ia - ib AS diag,
+        |           ia - row_number() OVER (PARTITION BY id_a, id_b, ia - ib
+        |             ORDER BY ia) AS island
+        |         FROM m),
+        |rl AS (SELECT id_a, id_b, max(cnt) AS max_run FROM (
+        |         SELECT id_a, id_b, diag, island, count(*) AS cnt
+        |         FROM runs GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
+        |sfp AS (SELECT id_a, id_b, count(DISTINCT fp) AS shared_fps
+        |        FROM m GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_fps, max_run
+        |FROM sfp JOIN rl USING (id_a, id_b)
+        |WHERE shared_fps >= 4 AND max_run >= 8 ORDER BY id_a, id_b""".stripMargin),
+
+    "contamination_check" ->
+      // trigram shingles recomputed as STRINGS (the hashed-shingle
+      // kernel agrees modulo negligible 64-bit collisions — the
+      // dedup_jaccard-proven pattern); same df cap 64, sub-k docs drop
+      (s"""WITH arrs AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(
+        |    regexp_replace(lower(text), '^$pyWs+|$pyWs+$$', '', 'g'), '$pyWs+') AS arr
+        |  FROM documents),""".stripMargin + """
+        |toks0 AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
+        |    list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+        |    ELSE [] END)) AS tok
+        |  FROM arrs),
+        |toks AS (SELECT id, tok FROM toks0 WHERE tok IN (
+        |  SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 64)),
+        |ev AS (SELECT id AS eval_id, tok FROM toks WHERE id % 29 = 3),
+        |tr AS (SELECT id AS train_id, tok FROM toks WHERE id % 29 <> 3),
+        |evsz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |shared AS (SELECT train_id, eval_id, count(*) AS shared_shingles
+        |           FROM tr JOIN ev USING (tok) GROUP BY 1, 2)
+        |SELECT train_id, eval_id, shared_shingles,
+        |  floor(shared_shingles / n_eval * 10000)::BIGINT AS overlap_bp
+        |FROM shared JOIN evsz USING (eval_id)
+        |WHERE shared_shingles >= 2 ORDER BY train_id, eval_id""".stripMargin),
 
     "text_normalize" -> {
       // Python-\s class in RE2 syntax (the Spark side uses the Java form)

@@ -69,6 +69,9 @@ final class CascadeExtractor {
       case e: Throwable =>
         fail(url, s"extractor_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+    // end-of-row: unpin the page source from the pooled parser — the
+    // Extracted result owns only fresh strings, never dom.src slices
+    finally parser.release()
   }
 
   private def fail(url: String, reason: String): Extracted =

@@ -46,6 +46,14 @@ final class Dom {
 
   def reset(): Unit = reset(null)
 
+  /** Drop the reference to the source string at end-of-row. The lazy
+    * attr-value offsets dangle after this, but nothing reads them past
+    * the row; without it, each pooled parser would pin the previous
+    * page's entire HTML until the next parse — defeating reset()'s
+    * free-row-strings goal for the largest allocation of all.
+    */
+  def release(): Unit = { src = null }
+
   private def grow(): Unit = {
     val n = kind.length * 2
     kind = java.util.Arrays.copyOf(kind, n)

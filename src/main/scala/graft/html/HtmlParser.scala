@@ -89,6 +89,12 @@ final class HtmlParser {
     }
   }
 
+  /** End-of-row hook: drop the parsed source string so the pooled
+    * parser doesn't pin the previous page's HTML between rows (see
+    * Dom.release).
+    */
+  def release(): Unit = dom.release()
+
   def parse(html: String): Dom = {
     dom.reset(html) // lazy attr values substring from the source
     depth = 0

@@ -83,7 +83,7 @@ object Cli {
           else {
             val base = pipelineOverrides0.get("extractors") match {
               case Some(xs: Seq[_]) => xs.map(_.toString)
-              case _ => Seq("newspaper", "readability", "http")
+              case _ => graft.util.ScragConfig.defaultExtractors
             }
             pipelineOverrides0 + ("extractors" ->
               ("http" +: base.filterNot(_ == "http")))

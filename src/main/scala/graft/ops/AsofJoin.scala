@@ -47,13 +47,20 @@ object AsofJoin {
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
       time: String, payload: String): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // the window value is a non-null STRUCT wrapping the payload, not the
+    // bare payload: last(_, ignoreNulls) must skip only the probe rows'
+    // sentinel, never a build row whose payload is genuinely NULL —
+    // DuckDB's native ASOF (the oracle) matches the most recent row
+    // regardless of payload nullness
+    val pvType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p", build.schema(payload).dataType)))
     val tagged = probe
       .withColumn("__tag", lit(1))
-      .withColumn("__payload", lit(null).cast(build.schema(payload).dataType))
-      .select((probeCols.map(col) :+ col("__tag") :+ col("__payload")): _*)
+      .withColumn("__pv", lit(null).cast(pvType))
+      .select((probeCols.map(col) :+ col("__tag") :+ col("__pv")): _*)
       .unionByName(
         build.select(col(key), col(time), lit(0).as("__tag"),
-          col(payload).as("__payload")),
+          struct(col(payload).as("p")).as("__pv")),
         allowMissingColumns = true)
     // build (tag 0) sorts before probe (tag 1) at equal time → `<=` ties
     // resolve to "build row at the same instant matches"
@@ -62,7 +69,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn(s"asof_$payload",
-        last(col("__payload"), ignoreNulls = true).over(w))
+        last(col("__pv"), ignoreNulls = true).over(w).getField("p"))
       .where(col("__tag") === 1)
       .select((probeCols.map(col) :+ col(s"asof_$payload")): _*)
   }

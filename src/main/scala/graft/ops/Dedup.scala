@@ -298,6 +298,123 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  // ---------------- cross-document substring dedup ----------------
+
+  /** Cross-document SUBSTRING-level duplicate pairs — the training-data
+    * cleanup step beyond document-level dedup (shared boilerplate,
+    * quoted passages, templated spans). Built on the winnowing
+    * fingerprints (TextAnalysis.winnow: rolling k-gram hashes, min per
+    * window — a LOCAL fingerprint, so a shared substring yields the
+    * same fingerprint run in both documents wherever it sits):
+    *
+    *   1. per-doc fingerprint sequence (positio-indexed) — per-row
+    *      kernel, embarrassingly parallel;
+    *   2. df cap: fingerprints present in > maxDocFreq docs are
+    *      boilerplate-of-the-corpus; a hash aggregate finds the (tiny)
+    *      hot set, a broadcast anti-join removes it — bounding the
+    *      inverted-index fan-out exactly like trigramJaccardPairs;
+    *   3. inverted-index self-join on the 8-byte fingerprint →
+    *      matched position pairs (ia, ib);
+    *   4. exact extend-verify IN RELATIONAL FORM: a shared contiguous
+    *      span lies on one diagonal d = ia − ib; islands of consecutive
+    *      ia on a diagonal are found with the classic
+    *      `ia − row_number()` trick, so `max_run` is the longest
+    *      shared fingerprint run (and shared_fps the distinct overlap
+    *      mass). No per-pair text re-read is needed — the fingerprint
+    *      index IS the evidence, which is what makes this shape hold
+    *      at 100 TB (only (fp, id, pos) triples ever shuffle).
+    */
+  def substringDupPairs(docs: DataFrame, minSharedFps: Int = 4,
+      maxDocFreq: Long = 64, minRun: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fps = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        TextAnalysis.winnow(t).iterator.zipWithIndex
+          .map { case (fp, i) => (id, i, fp) }
+      })
+      .toDF("doc_id", "fp_index", "fp")
+    val hot = fps.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDocFreq).select("fp")
+    val filtered = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val matches = filtered.as("a").join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp_index").as("ia"), col("b.fp_index").as("ib"), col("a.fp").as("fp"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("ia"))
+    val runs = matches
+      .withColumn("diag", col("ia") - col("ib"))
+      .withColumn("island", col("ia") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("run_len")).as("max_run"))
+    val sharedMass = matches.groupBy("id_a", "id_b")
+      .agg(count_distinct(col("fp")).as("shared_fps"))
+    // BOTH gates: diffuse trigram-level overlap (many shared fps, no
+    // run) is near-dup territory, not substring dedup — a pair counts
+    // only when a CONTIGUOUS fingerprint run evidences a shared span
+    sharedMass.join(runs, Seq("id_a", "id_b"))
+      .where(col("shared_fps") >= minSharedFps && col("max_run") >= minRun)
+      .select("id_a", "id_b", "shared_fps", "max_run")
+  }
+
+  // ---------------- eval-set contamination ----------------
+
+  /** Eval-set contamination check: which training documents share
+    * enough word-trigram shingles with a held-out eval document that
+    * the eval example is (partially) present in the training corpus —
+    * the audit every LLM-data pipeline runs before trusting its
+    * benchmark numbers.
+    *
+    * Shape for 10^12 train docs: the EVAL side is small by construction
+    * (benchmarks are thousands of docs, not billions), so its capped
+    * shingle set broadcasts and the train side never shuffles — one
+    * map-side join + one aggregation. The df cap (shared with
+    * trigramJaccardPairs) drops corpus-boilerplate shingles so a
+    * stop-phrase cannot fan a single eval doc out to every train doc.
+    *
+    * @return (train_id, eval_id, shared_shingles,
+    *          overlap_bp = floor(shared / |eval shingles| * 10000))
+    *         for pairs with shared_shingles >= minShared
+    */
+  def contaminationCheck(train: DataFrame, eval: DataFrame,
+      minShared: Long = 8, maxDocFreq: Long = 64): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def toks(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        shingleHashes(text, 3, shortDocWholeShingle = false).iterator
+          .map(h => (id, h))
+      })
+      .toDF("id", "tok")
+    val trainT = toks(train)
+    val evalT = toks(eval)
+    // df cap computed over the UNION (one rule for what "boilerplate"
+    // means, same 64 cap the jaccard oracle uses)
+    val all = trainT.unionByName(evalT)
+    val hot = all.groupBy("tok").agg(count_distinct(col("id")).as("df"))
+      .where(col("df") > maxDocFreq).select("tok")
+    val evalKept = evalT.join(broadcast(hot), Seq("tok"), "left_anti")
+    val evalSizes = evalKept.groupBy("id").agg(count(lit(1)).as("n_eval"))
+    val shared = trainT
+      .join(broadcast(evalKept.withColumnRenamed("id", "eval_id")), Seq("tok"))
+      .groupBy(col("id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(broadcast(evalSizes.withColumnRenamed("id", "eval_id")), Seq("eval_id"))
+      .where(col("shared_shingles") >= minShared)
+      .withColumn("overlap_bp",
+        floor(col("shared_shingles") / col("n_eval") * 10000).cast("long"))
+      .select("train_id", "eval_id", "shared_shingles", "overlap_bp")
+  }
+
   /** Embedding-cosine near-dup pairs (brute force — the small-N /
     * oracle path; the scale path is Similarity.lshNearDupPairs).
     */

@@ -1082,8 +1082,13 @@ object Multimodal {
     Jpeg.encodeWithTruth(PixelImage(w, ht, 3, px))
   }
 
-  /** STUB resize: metadata-only transform preserving aspect ratio. */
-  def resizeStub(decoded: DataFrame, maxSide: Int = 256): DataFrame =
+  /** Aspect-fit output dimensions: METADATA-ONLY projection computing
+    * the (out_width, out_height) a maxSide-bounded aspect-preserving
+    * resize would produce. No pixels move here — the real pixel resize
+    * (decode + box filter) is [[resizeImages]]; this is the cheap
+    * planning/projection companion used by multimodal_decode.
+    */
+  def aspectFit(decoded: DataFrame, maxSide: Int = 256): DataFrame =
     decoded
       .withColumn("scale",
         when(greatest(col("width"), col("height")) <= maxSide, lit(1.0))

@@ -231,6 +231,19 @@ object Pq {
     val k = parsed.map(_._2).max + 1
     val cb = Array.ofDim[Array[Double]](m, k)
     parsed.foreach { case (s, j, v) => cb(s)(j) = v }
+    // validate density + uniform sub-dim: a truncated/hand-edited
+    // artifact must fail HERE with an artifact-corruption message, not
+    // as an opaque NPE inside an encode/adcTopK executor
+    val subDim = parsed.head._3.length
+    for (s <- 0 until m; j <- 0 until k) {
+      val v = cb(s)(j)
+      require(v != null,
+        s"corrupt PQ codebook artifact $path: missing line for subspace=$s centroid=$j " +
+          s"(expected ${m}x$k dense)")
+      require(v.length == subDim,
+        s"corrupt PQ codebook artifact $path: subspace=$s centroid=$j has dim ${v.length}, " +
+          s"expected $subDim")
+    }
     cb
   }
 }

@@ -59,12 +59,18 @@ final case class ScragConfig(environment: String, data: Map[String, Any]) {
 
 object ScragConfig {
 
+  /** The default extractor cascade order (config/default.yml:8-11) —
+    * exposed so callers (Cli --async) ride the same source of truth as
+    * the layered-config resolution instead of inlining the literal.
+    */
+  val defaultExtractors: Seq[String] = Seq("newspaper", "readability", "http")
+
   /** The reference's shipped defaults (config/default.yml) for the
     * components this engine implements.
     */
   val defaults: Map[String, Any] = Map(
     "pipeline" -> Map(
-      "extractors" -> Seq("newspaper", "readability", "http"),
+      "extractors" -> defaultExtractors,
       "processors" -> Seq("normalize_whitespace"),
       "minimum_content_length" -> 200),
     "chunking" -> Map(

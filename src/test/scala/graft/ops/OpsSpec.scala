@@ -143,6 +143,30 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall found=${pairs.size}")
   }
 
+  test("LSH sizing rule: occupancy-constant bits, recall-holding tables") {
+    // anchor points: the driver tier, the validated sf1 experiment, and
+    // the 10^9-vector asymptote (caps engaged)
+    assert(Similarity.lshSizing(500L) == (8, 8))
+    assert(Similarity.lshSizing(2000L) == (8, 8))
+    assert(Similarity.lshSizing(20000L) == (12, 16))
+    assert(Similarity.lshSizing(1000000000L) == (24, 128))
+    // monotone non-decreasing in n
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
+      .map(Similarity.lshSizing)
+    assert(sizes == sizes.sorted)
+  }
+
+  test("LSH auto near-dup == explicit sizing at the same n") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val (bits, tables) = Similarity.lshSizing(n)
+    val auto = Similarity.lshNearDupPairsAuto(emb, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity.lshNearDupPairs(emb, threshold = 0.5, bits, tables)
+      .collect().map(_.toSeq).toSet
+    assert(auto == explicit)
+  }
+
   test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = "the quick brown fox jumps over the lazy dog and runs away fast"
     val t2 = "PREFIX then " + t1 + " plus a suffix"
@@ -172,7 +196,7 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.count() == 50)
     assert(decoded.where(!col("valid")).count() == 0)
     assert(decoded.select("kind").distinct().count() == 3)
-    val resized = Multimodal.resizeStub(decoded, maxSide = 128)
+    val resized = Multimodal.aspectFit(decoded, maxSide = 128)
     val bad = resized.where(greatest(col("out_width"), col("out_height")) > 128)
     assert(bad.count() == 0)
     val frames = Multimodal.frameSampleStub(decoded, stride = 10)
