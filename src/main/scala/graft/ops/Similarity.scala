@@ -98,23 +98,26 @@ object Similarity {
     * [[lshNearDupPairs]] from going quadratic as the corpus grows
     * (measured: fixed bits=8 cost 24.8× at 10× data, BENCH_SCALE.md).
     *
-    *  - `bits = clamp(ceil(log2(n/8)), 8, 24)`: buckets ≈ n/8, so mean
-    *    bucket occupancy (and with it the per-bucket self-join, which is
-    *    QUADRATIC in occupancy) stays constant as n grows.
-    *  - `tables = 8 << ((bits-8)/4)`, capped at 128: each +4 bits
-    *    multiplies a true near-dup pair's per-table collision odds by
-    *    p1^4 (p1 = 1 − acos(c)/π ≈ 0.855 at c = 0.9, so ×0.54);
-    *    doubling the table count restores the union recall — validated
-    *    at 20k vectors: bits=12/tables=16 finds the same 90k pairs at
-    *    the same 0.93 recall as bits=8/tables=8, 2× faster.
+    *  - `bits = clamp(ceil(log2(n/2)), 8, 24)`: buckets ≈ n/2. Mean
+    *    bucket occupancy (and with it the per-bucket self-join, which
+    *    is QUADRATIC in occupancy) stays constant as n grows; the ~2
+    *    target keeps random co-occupancy near zero so bucket joins see
+    *    mostly TRUE collisions (measured at 20k vectors: occupancy ~5
+    *    → 9.7 s, occupancy ~1.2 → 5.6 s, same pairs found).
+    *  - `tables = ceil(8 · 2^((bits−8)/4))`, capped at 128: each +4
+    *    bits multiplies a true near-dup pair's per-table collision odds
+    *    by p1^4 (p1 = 1 − acos(c)/π ≈ 0.855 at c = 0.9, so ×0.54);
+    *    doubling the table count per +4 bits restores the union recall
+    *    (at c = 0.9: (8,8) → 0.93, (14,23) → 0.935, (24,128) → 0.95).
     *
     * Deterministic in n only, so an oracle generator that knows the
     * tier's row count inlines the exact matching hyperplane set.
     */
   def lshSizing(n: Long): (Int, Int) = {
     val bits = math.min(24, math.max(8,
-      math.ceil(math.log(math.max(1.0, n / 8.0)) / math.log(2.0)).toInt))
-    val tables = math.min(128, 8 << ((bits - 8) / 4))
+      math.ceil(math.log(math.max(1.0, n / 2.0)) / math.log(2.0)).toInt))
+    val tables = math.min(128,
+      math.ceil(8.0 * math.pow(2.0, (bits - 8) / 4.0)).toInt)
     (bits, tables)
   }
 

@@ -48,6 +48,56 @@ class OpsSpec extends AnyFunSuite {
     assert(collapsed.length == 1 && collapsed(0).getDouble(2) == 9.0)
   }
 
+  test("asofJoin: a genuinely-NULL build payload is matched, not skipped") {
+    // DuckDB ASOF semantics: the most recent row wins REGARDLESS of its
+    // payload's nullness — the struct carry must not let ignoreNulls
+    // fall through to an older non-null row
+    val probe = Seq((1L, 10L, 250L, 0.0)).toDF("event_id", "user_id", "ts", "value")
+    val build = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(10L, 100L, java.lang.Double.valueOf(7.0)),
+        org.apache.spark.sql.Row(10L, 200L, null: java.lang.Double)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    val out = AsofJoin.asofJoin(probe, build, "user_id", "ts", "value").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(4), "prevailing row at ts=200 has NULL payload and must win")
+  }
+
+  test("substringDupPairs: planted shared span found, unrelated docs not paired") {
+    val span = ('a' to 'z').map(c => s"shared$c token$c").mkString(" ") // ~400 chars
+    val d = Seq(
+      (1L, s"alpha unique opening text one ${span} closing one"),
+      (2L, s"totally different preamble two here ${span} and a different tail"),
+      (3L, "no overlap at all in this document body whatsoever three"),
+      (4L, "another disjoint document with its own words four")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(d, minSharedFps = 4, maxDocFreq = 64, minRun = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(pairs.length == 1)
+    val (a, b, run) = pairs.head
+    assert(a == 1L && b == 2L)
+    assert(run >= 4, s"shared span must produce a contiguous fp run, got $run")
+  }
+
+  test("contaminationCheck: planted eval text inside a train doc is flagged") {
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank"
+    val train = Seq(
+      (1L, s"train doc prefix words then $evalText and trailing content here"),
+      (2L, "completely unrelated training document with other words entirely")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(train, eval, minShared = 2, maxDocFreq = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1)
+    val (trainId, evalId, shared, bp) = out.head
+    assert(trainId == 1L && evalId == 100L)
+    // all of the eval doc's interior trigrams appear in train doc 1
+    assert(shared >= 8 && bp >= 9000, s"shared=$shared bp=$bp")
+  }
+
   test("bucketIntervalJoin: containment matches, bucket-boundary spans, no dups") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000) // helper: ms precision
     val W = 1000000L // 1s buckets for the test
@@ -147,8 +197,8 @@ class OpsSpec extends AnyFunSuite {
     // anchor points: the driver tier, the validated sf1 experiment, and
     // the 10^9-vector asymptote (caps engaged)
     assert(Similarity.lshSizing(500L) == (8, 8))
-    assert(Similarity.lshSizing(2000L) == (8, 8))
-    assert(Similarity.lshSizing(20000L) == (12, 16))
+    assert(Similarity.lshSizing(2000L) == (10, 12))
+    assert(Similarity.lshSizing(20000L) == (14, 23))
     assert(Similarity.lshSizing(1000000000L) == (24, 128))
     // monotone non-decreasing in n
     val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
