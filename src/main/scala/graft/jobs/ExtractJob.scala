@@ -75,8 +75,14 @@ object ExtractJob {
       } else
         small.repartition(cfg.partitionsPerUnit, xxhash64(col("url")))
 
-    // round-robin spreads the few huge blobs evenly without needing stats
-    val bigSpread = big.repartition(math.max(2, cfg.partitionsPerUnit / 4))
+    // round-robin spreads the huge blobs evenly without needing stats.
+    // Full unit width, NOT a narrowed pool: separating blobs from the
+    // 4KB pages is what prevents stragglers; once separated, the blob
+    // stage is uniform-expensive rows and deserves every core — a
+    // max(2, width/4) pool here measured as an Amdahl cap (oversized
+    // bodies are ~half the corpus BYTES at 0.5% of rows, and a fixed
+    // 2-partition stage froze 2->8-thread scaling at 0.63, SkewBench)
+    val bigSpread = big.repartition(cfg.partitionsPerUnit)
 
     val extracted = Extract.extractPages(smallSpread, cfg.cascade, hist).toDF()
       .unionByName(Extract.extractPages(bigSpread, cfg.cascade, hist).toDF())
