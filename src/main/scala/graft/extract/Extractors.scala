@@ -57,17 +57,17 @@ final class DomStats {
     while (i < n) {
       if (dom.isText(i)) {
         val s = dom.text(i)
-        var tl = 0; var cm = 0; var wc = 0; var inWord = false
+        val len = s.length
+        var cm = 0; var wc = 0; var inWord = false
         var k = 0
-        while (k < s.length) {
+        while (k < len) {
           val c = s.charAt(k)
-          tl += 1
           if (c == ',') cm += 1
           if (PyText.isPySpace(c)) inWord = false
           else if (!inWord) { inWord = true; wc += 1 }
           k += 1
         }
-        textLen(i) = tl; commas(i) = cm; words(i) = wc; linkLen(i) = 0
+        textLen(i) = len; commas(i) = cm; words(i) = wc; linkLen(i) = 0
       } else {
         textLen(i) = 0; commas(i) = 0; words(i) = 0; linkLen(i) = 0
       }
