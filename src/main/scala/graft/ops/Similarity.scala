@@ -64,27 +64,58 @@ object Similarity {
     sig
   }
 
-  /** Bucket the embedding table by LSH signature (the index build). */
+  /** Bucket the embedding table by LSH signature (the index build).
+    * Planes derive once per partition, not per row.
+    */
   def lshIndex(embeddings: DataFrame, bits: Int = 12): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     embeddings.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, v, signature(v, bits)) })
+      .mapPartitions { it =>
+        var planes: Array[Array[Float]] = null
+        it.map { case (id, v) =>
+          if (planes == null) planes = Array.tabulate(bits)(hyperplane(_, v.length))
+          var sig = 0
+          var p = 0
+          while (p < bits) {
+            val plane = planes(p)
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += v(j).toDouble * plane(j); j += 1 }
+            if (dot >= 0) sig |= (1 << p)
+            p += 1
+          }
+          (id, v, sig)
+        }
+      }
       .toDF("vec_id", "embedding", "bucket")
   }
+
+  /** The near-dup tables' hyperplanes, derived ONCE (plane of table t,
+    * bit p has id `t*bits + p + 1000` = consecutive ids from 1000 — the
+    * id scheme the DuckDB oracle inlines). Deriving a plane costs a
+    * 64-float allocation plus 64 hash mixes; the pre-fix kernel
+    * re-derived all tables*bits planes PER VECTOR (6.4M allocations at
+    * 20k vectors × 322 planes) — measured as most of the signature
+    * stage.
+    */
+  private[ops] def tablePlanes(bits: Int, tables: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(tables * bits)(i => hyperplane(i + 1000, dim))
 
   /** Multi-table signature for near-dup pair mining: `tables`
     * independent `bits`-bit signatures (different hyperplane sets per
     * table). Two vectors with cosine c collide in one table with
     * probability (1 - acos(c)/pi)^bits; tables multiply the recall.
+    * `planes` from [[tablePlanes]], shared across a partition's rows.
     */
-  private[ops] def tableSignatures(vec: Array[Float], bits: Int, tables: Int): Array[Int] =
+  private[ops] def tableSignatures(vec: Array[Float], bits: Int, tables: Int,
+      planes: Array[Array[Float]]): Array[Int] =
     Array.tabulate(tables) { t =>
       var sig = 0
       var p = 0
       while (p < bits) {
-        val plane = hyperplane(t * bits + p + 1000, vec.length)
+        val plane = planes(t * bits + p)
         var dot = 0.0
         var j = 0
         while (j < vec.length) { dot += vec(j).toDouble * plane(j); j += 1 }
@@ -153,7 +184,13 @@ object Similarity {
     // a key table.
     val buckets = vecs
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, tableSignatures(v, bits, tables)) })
+      .mapPartitions { it =>
+        var planes: Array[Array[Float]] = null // derived once per partition
+        it.map { case (id, v) =>
+          if (planes == null) planes = tablePlanes(bits, tables, v.length)
+          (id, tableSignatures(v, bits, tables, planes))
+        }
+      }
       .toDF("vec_id", "sigs")
       .select(col("vec_id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
     // Stage 2 — distinct candidate id pairs (a pair colliding in several
