@@ -205,6 +205,13 @@ object Bench {
            |is the steady-state cost a scheduled production run sees).
            |Scale-tier evidence (10x facts, sf1-equivalent): BENCH_SCALE.md.
            |
+           |Host note: this is a shared sandbox; absolute docs/sec swings
+           |up to ~40%% across hours at zero guest-visible steal (measured:
+           |the same committed kernel at 7.4k then 5.3k docs/s single-thread
+           |an hour apart). Efficiency is a within-run ratio with interleaved
+           |level visits precisely so host phases cancel; compare absolute
+           |rates only within one run.
+           |
            |Raw: $json
            |""".stripMargin
       Files.write(Paths.get("BENCH.md"), md.getBytes("UTF-8"))

@@ -397,9 +397,12 @@ object Dedup {
     val trainT = toks(train)
     val evalT = toks(eval)
     // df cap computed over the UNION (one rule for what "boilerplate"
-    // means, same 64 cap the jaccard oracle uses)
+    // means, same 64 cap the jaccard oracle uses). count(*) IS the doc
+    // frequency — shingleHashes emits each tok once per doc — and unlike
+    // count_distinct it keeps the map-side partial combine: the exchange
+    // carries (tok, partial_count) rows, never raw (tok, id) pairs
     val all = trainT.unionByName(evalT)
-    val hot = all.groupBy("tok").agg(count_distinct(col("id")).as("df"))
+    val hot = all.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("tok")
     val evalKept = evalT.join(broadcast(hot), Seq("tok"), "left_anti")
     val evalSizes = evalKept.groupBy("id").agg(count(lit(1)).as("n_eval"))

@@ -162,6 +162,52 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring exchanges carry fingerprints/ids only, never text") {
+    // the substring miner's scale premise: only (doc_id, fp_index, fp)
+    // triples shuffle through the inverted-index self-join and the
+    // window — document text must never cross an exchange
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.ops.Dedup.substringDupPairs(docs)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("text")),
+          s"exchange carries text: ${e.output.map(_.name).mkString(", ")}")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("contamination_check broadcasts the eval side; train never shuffles pre-join") {
+    // the 10^12-train-doc shape: the held-out eval set is small by
+    // construction, so its shingles must arrive at the train side via
+    // BroadcastExchange — a shuffle of train shingles keyed by tok
+    // would move the whole corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Dedup.contaminationCheck(
+      docs.where(col("doc_id") % 29 =!= 3),
+      docs.where(col("doc_id") % 29 === 3))
+    out.collect() // materialize so AQE settles the final plan
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastExchange"), planStr)
+    // tok-keyed exchanges may carry only AGGREGATED (tok, count) rows —
+    // the df-cap's partial combine; a raw (tok, id) exchange would move
+    // the whole train corpus's shingles
+    val raw = "hashpartitioning\\(tok[^)]*id".r.findFirstIn(planStr)
+    assert(raw.isEmpty, s"raw (tok, id) shingles shuffled:\n$planStr")
+  }
+
   test("no CartesianProduct in any driver query plan (sweep)") {
     // neardup_cosine is the labeled brute-force oracle path — the one
     // intentional cross join; every other query must plan cartesian-free
