@@ -491,6 +491,45 @@ object SparkEntry {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    "vocab_topk" -> ((s, dir) =>
+      // corpus-level vocabulary: the canonical wordcount — codegen'd
+      // split+explode, map-side combine, TakeOrdered top-k; determinism
+      // via (count desc, word asc)
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")),
+          graft.text.PyText.PyWsClass + "+")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(50)),
+
+    "text_gopher" -> ((s, dir) =>
+      // Gopher-style repetition/format quality metrics (Rae et al. 2021
+      // A1.1, public rules): one kernel pass; oracle re-derives every
+      // metric relationally in SQL
+      graft.ops.TextAnalysis.gopher(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "pii_redact" -> ((s, dir) => {
+      // the synthetic corpus carries no PII by construction, so the
+      // query PLANTS deterministic PII (email/IPv4/SSN-shaped id) from
+      // doc_id — both engines build the identical augmented text, so
+      // the oracle genuinely exercises cross-dialect regex parity
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id"), lit(100)).cast("string"), lit(".7 ref "),
+        (pmod(col("doc_id"), lit(900)) + lit(100)).cast("string"), lit("-"),
+        (pmod(col("doc_id"), lit(90)) + lit(10)).cast("string"), lit("-"),
+        (pmod(col("doc_id"), lit(9000)) + lit(1000)).cast("string"))
+      val (ne, ni, nid, red) = graft.ops.TextAnalysis.redactPii(aug)
+      t(s, dir, "documents")
+        .select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+          nid.as("n_ids"), length(red).cast("long").as("red_len"),
+          sha2(red, 256).as("red_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_normalize" -> ((s, dir) =>
       // the reference's normalize_whitespace processor over extraction
       // output shape (processors/base.py:41-61) — Python \s semantics
@@ -1006,6 +1045,87 @@ object SparkEntry {
         |  floor(shared_shingles / n_eval * 10000)::BIGINT AS overlap_bp
         |FROM shared JOIN evsz USING (eval_id)
         |WHERE shared_shingles >= 2 ORDER BY train_id, eval_id""".stripMargin),
+
+    "vocab_topk" ->
+      (s"""SELECT word, count(*)::BIGINT AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '$pyWs+')) AS word
+        |  FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin),
+
+    "text_gopher" ->
+      (s"""WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '^$pyWs+|$pyWs+$$', '', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t, length(t) AS tlen,
+        |    CASE WHEN length(t) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(t), '$pyWs+') END AS arr
+        |  FROM base),""".stripMargin + """
+        |ws AS (SELECT doc_id, unnest(arr) AS wd FROM w),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nw, sum(length(wd)) AS sumlen,
+        |    sum(CASE WHEN regexp_matches(wd, '[a-z]') THEN 1 ELSE 0 END) AS alpha
+        |  FROM ws GROUP BY doc_id),
+        |sym AS (
+        |  SELECT doc_id,
+        |    (length(t) - length(replace(t, '#', ''))) +
+        |    (length(t) - length(replace(t, '...', ''))) / 3 AS sym
+        |  FROM w),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(arr), 1)),
+        |    i -> arr[i] || ' ' || arr[i+1])) AS g
+        |  FROM w),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+        |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+        |  FROM w),
+        |t2 AS (SELECT doc_id, cnt, glen FROM (
+        |  SELECT doc_id, count(*) AS cnt, length(g) AS glen,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g) AS rn
+        |  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+        |t3 AS (SELECT doc_id, cnt, glen FROM (
+        |  SELECT doc_id, count(*) AS cnt, length(g) AS glen,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g) AS rn
+        |  FROM g3 GROUP BY doc_id, g) WHERE rn = 1)
+        |SELECT w.doc_id,
+        |  COALESCE(a.nw, 0)::BIGINT AS n_words,
+        |  COALESCE(floor(a.sumlen / a.nw * 10000), 0)::BIGINT AS mean_word_len_bp,
+        |  COALESCE(floor(s.sym / a.nw * 10000), 0)::BIGINT AS symbol_ratio_bp,
+        |  COALESCE(floor(a.alpha / a.nw * 10000), 0)::BIGINT AS alpha_word_bp,
+        |  COALESCE(floor(t2.cnt * t2.glen / w.tlen * 10000), 0)::BIGINT AS top2gram_char_bp,
+        |  COALESCE(floor(t3.cnt * t3.glen / w.tlen * 10000), 0)::BIGINT AS top3gram_char_bp
+        |FROM w LEFT JOIN agg a USING (doc_id) LEFT JOIN sym s USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "pii_redact" -> {
+      val e = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+      val id = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s"""WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com at 10.' ||
+        |    (doc_id % 256) || '.' || (doc_id % 100) || '.7 ref ' ||
+        |    (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || '-' ||
+        |    (doc_id % 9000 + 1000) AS aug
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$id', '<ID>', 'g') AS red
+        |  FROM a)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '$e'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(aug, '$ip'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(aug, '$id'))::BIGINT AS n_ids,
+        |  length(red)::BIGINT AS red_len,
+        |  sha256(red) AS red_sha
+        |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "text_normalize" -> {
       // Python-\s class in RE2 syntax (the Spark side uses the Java form)

@@ -124,6 +124,126 @@ object TextAnalysis {
     out.toArray
   }
 
+  // ---------------- Gopher-style repetition / format quality ----------------
+
+  /** Per-document repetition and format metrics in the spirit of the
+    * published Gopher quality rules (Rae et al. 2021, appendix A1.1 —
+    * public algorithm): word stats, symbol-to-word ratio, alpha-word
+    * fraction, and the fraction of characters covered by the most
+    * common word 2-gram / 3-gram (repetition signal). Computed in one
+    * per-row kernel pass (HashMap n-gram counts); every metric is
+    * relationally recomputable, so the driver oracle re-derives them in
+    * SQL from the same definitions:
+    *
+    *  - words = Python-\s split of the stripped, lowercased text
+    *  - mean_word_len_bp  = floor(sum(len(w)) / n * 10^4)
+    *  - symbol_ratio_bp   = floor((count('#') + count_nonoverlap('...')) / n * 10^4)
+    *  - alpha_word_bp     = floor(#words containing [a-z] / n * 10^4)
+    *  - topKgram_char_bp  = floor(cnt(top) * len(top) / len(stripped) * 10^4),
+    *    top = argmax by (count desc, gram asc), grams joined with ' '
+    */
+  def gopherMetrics(text: String): (Long, Long, Long, Long, Long, Long) = {
+    val t = graft.text.PyText.strip(if (text == null) "" else text)
+    if (t.isEmpty) return (0L, 0L, 0L, 0L, 0L, 0L)
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
+    // tokenize lowered text on Python-\s (same family as the dedup kernels)
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && graft.text.PyText.isPySpace(lower.charAt(i))) i += 1
+      val s = i
+      while (i < n && !graft.text.PyText.isPySpace(lower.charAt(i))) i += 1
+      if (i > s) words += lower.substring(s, i)
+    }
+    val nw = words.length
+    if (nw == 0) return (0L, 0L, 0L, 0L, 0L, 0L)
+    var sumLen = 0L
+    var alpha = 0L
+    words.foreach { w =>
+      sumLen += w.length
+      if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
+    }
+    // '#' chars + non-overlapping '...' runs, counted on the RAW text
+    var sym = 0L
+    i = 0
+    while (i < t.length) { if (t.charAt(i) == '#') sym += 1; i += 1 }
+    i = 0
+    while ({ i = t.indexOf("...", i); i >= 0 }) { sym += 1; i += 3 }
+
+    def topGramBp(k: Int): Long = {
+      if (nw < k) return 0L
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + k <= nw) {
+        val g = words.slice(j, j + k).mkString(" ")
+        counts.merge(g, 1, _ + _)
+        j += 1
+      }
+      var best: String = null
+      var bestC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestC ||
+            (e.getValue == bestC && (best == null || e.getKey < best))) {
+          best = e.getKey; bestC = e.getValue
+        }
+      }
+      // integer multiply FIRST, then double divide — the SQL oracle
+      // evaluates cnt * length(g) / len * 10000 in the same order
+      math.floor((bestC.toLong * best.length).toDouble / t.length * 10000.0).toLong
+    }
+
+    (nw.toLong,
+      math.floor(sumLen.toDouble / nw * 10000.0).toLong,
+      math.floor(sym.toDouble / nw * 10000.0).toLong,
+      math.floor(alpha.toDouble / nw * 10000.0).toLong,
+      topGramBp(2), topGramBp(3))
+  }
+
+  /** documents → Gopher-style quality metric columns (pooled kernel). */
+  def gopher(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val m = gopherMetrics(t)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6)
+      })
+      .toDF("doc_id", "n_words", "mean_word_len_bp", "symbol_ratio_bp",
+        "alpha_word_bp", "top2gram_char_bp", "top3gram_char_bp")
+  }
+
+  // ---------------- PII redaction ----------------
+
+  /** Regex patterns shared verbatim by the Spark (Java regex) and DuckDB
+    * (RE2) sides: character classes + greedy counted repetition only, no
+    * alternation and no backtracking-sensitive constructs, so leftmost
+    * matches coincide across engines.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+  val IdPattern: String = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** text → (n_emails, n_ips, n_ids, redacted text): counts on the
+    * input, then sequential replacement email → ip → id (the
+    * placeholders contain no digits or '@', so later passes cannot
+    * match earlier replacements).
+    */
+  def redactPii(text: Column): (Column, Column, Column, Column) = {
+    val nEmails = regexp_count(text, lit(EmailPattern)).cast("long")
+    val nIps = regexp_count(text, lit(Ipv4Pattern)).cast("long")
+    val nIds = regexp_count(text, lit(IdPattern)).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      IdPattern, "<ID>")
+    (nEmails, nIps, nIds, redacted)
+  }
+
   /** documents(doc_id, text, ...) → per-doc analysis columns. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

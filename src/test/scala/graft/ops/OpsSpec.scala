@@ -82,6 +82,32 @@ class OpsSpec extends AnyFunSuite {
     assert(run >= 4, s"shared span must produce a contiguous fp run, got $run")
   }
 
+  test("gopherMetrics: hand-computed repetition and format stats") {
+    // "aa bb aa bb aa" — n=5 words, mean len 2, all alpha, top 2-gram
+    // "aa bb" count 2 len 5 over 14 chars, top 3-gram "aa bb aa" count 2
+    // (positions 0 and 2) len 8 over 14 chars
+    val (nw, mean, sym, alpha, g2, g3) = TextAnalysis.gopherMetrics("aa bb aa bb aa")
+    assert(nw == 5 && mean == 20000 && sym == 0 && alpha == 10000)
+    assert(g2 == math.floor(2.0 * 5 / 14 * 10000).toLong)
+    assert(g3 == math.floor(2.0 * 8 / 14 * 10000).toLong)
+    // symbols: two '#' plus one non-overlapping '...' in 4 dots over 3 words
+    val (n2, _, sym2, alpha2, _, _) = TextAnalysis.gopherMetrics("x# #.... y z")
+    assert(n2 == 4 && sym2 == math.floor(3.0 / 4 * 10000).toLong)
+    assert(alpha2 == math.floor(3.0 / 4 * 10000).toLong) // "#...." has no a-z
+    // degenerate inputs
+    assert(TextAnalysis.gopherMetrics("") == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(TextAnalysis.gopherMetrics(null) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("redactPii: counts and sequential replacement") {
+    val df = Seq((1L, "mail a.b@x.org and 10.0.0.1 ref 123-45-6789 done"))
+      .toDF("doc_id", "text")
+    val (ne, ni, nid, red) = TextAnalysis.redactPii(col("text"))
+    val r = df.select(ne, ni, nid, red).collect()(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getString(3) == "mail <EMAIL> and <IP> ref <ID> done")
+  }
+
   test("contaminationCheck: planted eval text inside a train doc is flagged") {
     val evalText = "the quick brown fox jumps over the lazy dog near the river bank"
     val train = Seq(
