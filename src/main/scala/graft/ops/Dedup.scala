@@ -346,8 +346,20 @@ object Dedup {
         col("a.fp_index").as("ia"), col("b.fp_index").as("ib"), col("a.fp").as("fp"))
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("ia"))
-    val runs = matches
-      .withColumn("diag", col("ia") - col("ib"))
+    // diagonal prefilter: a contiguous run of length L lives on one
+    // diagonal and contributes L matches to it, so any diagonal that
+    // could hold a qualifying run has count >= minRun. The count is a
+    // map-side-combinable hash aggregate — far cheaper than sorting the
+    // full match table for the window — and the reported max_run is
+    // unchanged: the pair's longest run (>= minRun when the pair
+    // qualifies) always lives on a kept diagonal.
+    val withDiag = matches.withColumn("diag", col("ia") - col("ib"))
+    val goodDiag = withDiag.groupBy("id_a", "id_b", "diag")
+      .agg(count(lit(1)).as("dcnt"))
+      .where(col("dcnt") >= minRun)
+      .select("id_a", "id_b", "diag")
+    val runs = withDiag
+      .join(goodDiag, Seq("id_a", "id_b", "diag"), "left_semi")
       .withColumn("island", col("ia") - row_number().over(w))
       .groupBy("id_a", "id_b", "diag", "island")
       .agg(count(lit(1)).as("run_len"))
