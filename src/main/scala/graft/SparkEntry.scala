@@ -182,6 +182,17 @@ object SparkEntry {
           col("n_events"), round(col("session_value"), 2).as("session_value"))
         .orderBy(col("user_id"), col("start_ts"))),
 
+    "stream_join" -> ((s, dir) =>
+      // stream-stream interval join (symmetric hash join with
+      // watermark-bounded state): click→purchase funnel within 30 min.
+      // Oracle = the equivalent batch join (append-mode equality over
+      // bounded input).
+      graft.streaming.StreamingOps
+        .streamStreamJoin(s, s"$dir/events.parquet")
+        .select(col("click_id").cast("long"), col("purchase_id").cast("long"),
+          col("user_id").cast("long"))
+        .orderBy(col("click_id"), col("purchase_id"))),
+
     // ---------------- extraction tier (north rule) ----------------
     "cascade_extract" -> ((s, dir) => {
       val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
@@ -1217,6 +1228,14 @@ object SparkEntry {
         |FROM sess
         |WHERE end_ts + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)
         |ORDER BY user_id, start_ts""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash,

@@ -149,6 +149,60 @@ object StreamingOps {
   }
 
   /** FileStreamSource requires a directory; stage a lone file into one. */
+  /** Stream-stream interval join — the canonical funnel correlation:
+    * for every `leftType` event, the `rightType` events of the same
+    * user within `windowMinutes` after it. Both sides are unbounded
+    * streams, so this exercises Spark's symmetric-hash stream-stream
+    * join; the watermarks PLUS the time-range condition are what let
+    * the state store evict rows (left rows expire once the right
+    * watermark passes ts + window; without the range bound, state
+    * grows forever — the 100 TB/day failure mode).
+    *
+    * Batch-equality oracle: with AvailableNow + processAllAvailable over
+    * bounded input and a watermark delay larger than the input's
+    * disorder, the append-mode result equals the batch join.
+    */
+  def streamStreamJoin(spark: SparkSession, eventsPath: String,
+      leftType: String = "click", rightType: String = "purchase",
+      windowMinutes: Int = 30,
+      queryNameBase: String = "graft_stream_join"): DataFrame = {
+    val queryName = unique(queryNameBase)
+    val srcDir = stageDir(eventsPath)
+    val schema = spark.read.parquet(srcDir).schema
+    def side(t: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .where(col("event_type") === t)
+        .withWatermark("ts", "2 days")
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+    val joined = side(leftType, "l").join(side(rightType, "r"),
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $windowMinutes minutes"))
+      .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+        col("l_user").as("user_id"))
+    // the symmetric-hash join instantiates FOUR state stores per shuffle
+    // partition per micro-batch; at local-mode data volumes the store
+    // setup dominates, so pin a narrow state partitioning for this query
+    // (captured at stream start; restored immediately after). On a real
+    // cluster this is sized to the key cardinality instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   private def stageDir(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) path

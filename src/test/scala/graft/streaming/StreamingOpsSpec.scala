@@ -30,6 +30,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = StreamingOps.streamStreamJoin(spark, path,
+        queryNameBase = "spec_stream_join")
+      .orderBy("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val batch = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .join(ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("pu"), col("ts").as("pts")),
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 30 minutes"))
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions past the watermark") {
     val sfDir = "/root/testdata/sf0.001"
     val gapMs = 30L * 60 * 1000
