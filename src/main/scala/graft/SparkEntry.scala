@@ -193,6 +193,33 @@ object SparkEntry {
           col("user_id").cast("long"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    "warc_roundtrip" -> ((s, dir) => {
+      // WARC (ISO 28500) encode→decode roundtrip over real per-record
+      // gzip members — the Common-Crawl .warc.gz layout whose member
+      // framing is what makes the format splittable for distributed
+      // reads. Batches of 16 records per file exercise multi-member
+      // parsing; the oracle needs only the documents table because the
+      // roundtrip is lossless (payload bytes + target URI survive).
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(16).flatMap { batch =>
+            val encoded = graft.sources.Warc.encodeFile(batch.map { case (id, text) =>
+              graft.sources.Warc.encodeRecord(s"https://docs.example/$id",
+                "2024-01-01T00:00:00Z", text.getBytes("UTF-8"))
+            })
+            graft.sources.Warc.parseFile(encoded).iterator.map { r =>
+              val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(r.payload).map("%02x".format(_)).mkString
+              (id, r.payload.length.toLong, sha, r.warcType == "response")
+            }
+          }
+        }.toDF("doc_id", "payload_len", "payload_sha", "type_ok")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- extraction tier (north rule) ----------------
     "cascade_extract" -> ((s, dir) => {
       val pages = graft.table.SyntheticPages.generate(s, pagesFor(dir))
@@ -1236,6 +1263,11 @@ object SparkEntry {
         |  AND c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "warc_roundtrip" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len,
+        |sha256(text) AS payload_sha, true AS type_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash,

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** From-scratch WARC (ISO 28500, the Common-Crawl container format)
+  * encode/decode. Real Common-Crawl files are a CONCATENATION of
+  * per-record gzip members (`.warc.gz`), so a reader can split a file
+  * at member boundaries and decode records independently — that
+  * per-record framing is exactly what makes the format splittable for
+  * distributed processing, and both sides are implemented here:
+  *
+  *  - [[encodeFile]]: records → one gzip member each (raw-deflate +
+  *    gzip header/trailer written by hand) → concatenated bytes.
+  *  - [[parseFile]]: walks the multi-member stream with an Inflater
+  *    per member, then parses each record's CRLF header block and
+  *    Content-Length-framed payload.
+  *
+  * Errors are DATA: a malformed member/record yields one record with
+  * `warcType = "error"` and the reason in `headers("x-parse-error")`,
+  * never an exception — the per-row contract the extraction cascade
+  * uses (a poison record costs one row, not a task retry at 10^12
+  * docs).
+  */
+object Warc {
+
+  final case class WarcRecord(
+      targetUri: String,
+      warcType: String,
+      headers: Map[String, String],
+      payload: Array[Byte])
+
+  // ---------------- encode ----------------
+
+  /** One WARC/1.1 record with deterministic headers (record id is
+    * name-based on the target URI — no wall-clock, no randomness).
+    */
+  def encodeRecord(targetUri: String, date: String,
+      payload: Array[Byte], warcType: String = "response"): Array[Byte] = {
+    val id = java.util.UUID.nameUUIDFromBytes(targetUri.getBytes(UTF_8))
+    val header =
+      s"WARC/1.1\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n"
+    val out = new ByteArrayOutputStream(header.length + payload.length + 4)
+    out.write(header.getBytes(UTF_8))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Wrap bytes as ONE gzip member (header + raw deflate + CRC32/ISIZE
+    * trailer, little-endian — RFC 1952, written by hand so member
+    * boundaries are explicit).
+    */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    // 10-byte header: magic, CM=deflate, no flags, MTIME=0 (determinism),
+    // XFL=0, OS=255 (unknown)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(bytes)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    deflater.end()
+    val crc = new CRC32
+    crc.update(bytes)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(bytes.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** records (already WARC-encoded) → concatenated per-record gzip
+    * members — the `.warc.gz` layout.
+    */
+  def encodeFile(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach(r => out.write(gzipMember(r)))
+    out.toByteArray
+  }
+
+  // ---------------- decode ----------------
+
+  private def error(reason: String): WarcRecord =
+    WarcRecord(null, "error", Map("x-parse-error" -> reason), Array.emptyByteArray)
+
+  /** Split a multi-member gzip stream; returns (members, trailingError). */
+  private def gunzipMembers(bytes: Array[Byte]): (Seq[Array[Byte]], Option[String]) = {
+    val members = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (pos + 10 > bytes.length ||
+          (bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
+        return (members.toSeq, Some(s"bad gzip magic at offset $pos"))
+      if (bytes(pos + 2) != 8) return (members.toSeq, Some("unsupported CM"))
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) return (members.toSeq, Some("truncated FEXTRA"))
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p > bytes.length) return (members.toSeq, Some("truncated gzip header"))
+      val inflater = new Inflater(true)
+      inflater.setInput(bytes, p, bytes.length - p)
+      val out = new ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inflater.finished()) {
+          val n = inflater.inflate(buf)
+          if (n == 0 && inflater.needsInput())
+            return (members.toSeq, Some("truncated deflate stream"))
+          out.write(buf, 0, n)
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          return (members.toSeq, Some(s"deflate error: ${e.getMessage}"))
+      }
+      val consumed = (bytes.length - p) - inflater.getRemaining
+      inflater.end()
+      val member = out.toByteArray
+      // verify the RFC 1952 trailer (CRC32 + ISIZE)
+      val tp = p + consumed
+      if (tp + 8 > bytes.length) return (members.toSeq, Some("truncated gzip trailer"))
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      val crc = new CRC32
+      crc.update(member)
+      if (le32(tp) != crc.getValue) return (members.toSeq, Some("gzip CRC mismatch"))
+      if (le32(tp + 4) != (member.length.toLong & 0xffffffffL))
+        return (members.toSeq, Some("gzip ISIZE mismatch"))
+      members += member
+      pos = tp + 8
+    }
+    (members.toSeq, None)
+  }
+
+  /** Parse one decompressed WARC record (header block + framed payload). */
+  def parseRecord(bytes: Array[Byte]): WarcRecord = {
+    // header block ends at the first CRLF CRLF
+    var end = -1
+    var i = 0
+    while (end < 0 && i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') end = i
+      i += 1
+    }
+    if (end < 0) return error("no header terminator")
+    val headerText = new String(bytes, 0, end, UTF_8)
+    val lines = headerText.split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("WARC/"))
+      return error("missing WARC version line")
+    val headers = lines.drop(1).flatMap { l =>
+      val c = l.indexOf(':')
+      if (c <= 0) None
+      else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+    }.toMap
+    val len =
+      try headers.getOrElse("content-length", "-1").toInt
+      catch { case _: NumberFormatException => -1 }
+    if (len < 0) return error("bad content-length")
+    val payloadStart = end + 4
+    if (payloadStart + len > bytes.length) return error("payload truncated")
+    val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
+    WarcRecord(headers.getOrElse("warc-target-uri", null),
+      headers.getOrElse("warc-type", null), headers, payload)
+  }
+
+  /** `.warc.gz` bytes → records (+ at most one trailing error record if
+    * the member stream is malformed).
+    */
+  def parseFile(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val (members, err) = gunzipMembers(bytes)
+    members.map(parseRecord) ++ err.map(error).toSeq
+  }
+}
