@@ -4,6 +4,9 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{CRC32, Deflater, Inflater}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
 /** From-scratch WARC (ISO 28500, the Common-Crawl container format)
   * encode/decode. Real Common-Crawl files are a CONCATENATION of
   * per-record gzip members (`.warc.gz`), so a reader can split a file
@@ -189,5 +192,34 @@ object Warc {
   def parseFile(bytes: Array[Byte]): Seq[WarcRecord] = {
     val (members, err) = gunzipMembers(bytes)
     members.map(parseRecord) ++ err.map(error).toSeq
+  }
+
+  /** WARC ingestion source: a directory of `.warc.gz` files → a pages
+    * DataFrame `(url, warc_ts, html, warc_file, succeeded,
+    * failure_reason)` feeding the extraction cascade — the real
+    * Common-Crawl entry point. Built on Spark's binaryFile source (one
+    * task per file; at Common-Crawl's ~1 GB-per-file layout that is the
+    * natural split unit, and a custom FileFormat splitting at member
+    * boundaries would be the next step if files were larger). Parse
+    * failures are rows.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        parseFile(bytes).iterator.map { r =>
+          if (r.warcType == "error")
+            (null: String, null: String, null: Array[Byte], path,
+              false, r.headers.getOrElse("x-parse-error", "parse error"))
+          else
+            (r.targetUri, r.headers.getOrElse("warc-date", null), r.payload,
+              path, true, null: String)
+        }
+      })
+      .toDF("url", "warc_ts", "html", "warc_file", "succeeded", "failure_reason")
   }
 }
