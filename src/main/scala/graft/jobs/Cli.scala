@@ -37,6 +37,13 @@ object Cli {
   private def loadPages(spark: SparkSession, src: String): DataFrame =
     if (src.startsWith("synth:"))
       SyntheticPages.generate(spark, src.stripPrefix("synth:").toLong).toDF()
+    else if (src.startsWith("warc:"))
+      // Common-Crawl-style ingestion: a directory of .warc.gz files;
+      // unparseable members become failure rows and are dropped here
+      // (the cascade records its own per-row failures downstream)
+      graft.sources.Warc.read(spark, src.stripPrefix("warc:"))
+        .where(org.apache.spark.sql.functions.col("succeeded"))
+        .select("url", "warc_ts", "html")
     else spark.read.parquet(src)
 
   private def opt(args: Array[String], name: String): Option[String] = {

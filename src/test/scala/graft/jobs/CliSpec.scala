@@ -75,6 +75,26 @@ class CliSpec extends AnyFunSuite {
     assert(staged.listFiles().map(_.getName).count(_.startsWith("unit=")) == 2)
   }
 
+  test("extract verb: warc: source ingests .warc.gz files end to end") {
+    val work = Files.createTempDirectory("cli-extract-warc")
+    val warcDir = work.resolve("crawl")
+    Files.createDirectories(warcDir)
+    val pages = (0L until 50L).map(id => graft.table.SyntheticPages.pageFor(42L, id))
+    pages.grouped(25).zipWithIndex.foreach { case (batch, i) =>
+      Files.write(warcDir.resolve(f"seg-$i%05d.warc.gz"),
+        graft.sources.Warc.encodeFile(batch.map(p =>
+          graft.sources.Warc.encodeRecord(p.url, "2024-01-01T00:00:00Z", p.html))))
+    }
+    val out = work.resolve("table").toString
+    Cli.main(Array("extract", s"warc:$warcDir", out, "--units", "2"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val t = new graft.table.IcebergLite(out)
+    assert(t.read(spark).count() == 50)
+    assert(t.read(spark).where(org.apache.spark.sql.functions.col("succeeded"))
+      .count() > 0)
+  }
+
   test("extract verb: empty units (xxhash mod leaves gaps) commit zero rows, not a crash") {
     // 3 pages over 8 units → at least 5 units have no hive directory;
     // each must read as empty and still commit for idempotent resume
