@@ -6,17 +6,23 @@ import java.nio.charset.StandardCharsets
 
 /** Iceberg-style table layout over Parquet, implemented thin (no
   * Iceberg jar ships in this sandbox — SURVEY.md §4 note): data files
-  * live under `data/unit=<u>/`, and a unit becomes visible only when
-  * its manifest entry `manifest/unit-<u>.json` exists. Manifest files
-  * are written via tmp + atomic rename (the same commit idea as the
-  * reference's index save, file_store.py:246-251, and of Iceberg
-  * snapshot commits).
+  * live under `data/unit=<u>/v-<k>/` (immutable per version), a unit
+  * becomes visible only when its manifest entry
+  * `manifest/unit-<u>-v<k>.json` exists, and every publish also commits
+  * a table-level snapshot `snapshot/snap-<n>.json` (the committed
+  * unit→version map). All metadata files are written via tmp + atomic
+  * rename (the same commit idea as the reference's index save,
+  * file_store.py:246-251, and of Iceberg snapshot commits).
   *
-  * This gives the north rule's checkpointed resume: a killed job
-  * re-runs only units without manifest entries (uncommitted partial
-  * data is overwritten), and readers never see half-written units.
-  * Units are the resume granularity — at 10^12 docs you size them so
-  * one unit is a few minutes of cluster work (e.g. 10k units).
+  * This gives the north rule's checkpointed resume — a killed job
+  * re-runs only units without manifest entries (uncommitted staged
+  * data is overwritten), and readers never see half-written units —
+  * plus Iceberg's signature reader features: [[readAt]] time-travels to
+  * any unexpired snapshot (versioned data is immutable), and
+  * [[expireSnapshots]] is the retention story that bounds storage
+  * growth under re-publishes. Units are the resume granularity — at
+  * 10^12 docs you size them so one unit is a few minutes of cluster
+  * work (e.g. 10k units).
   *
   * Uses the Hadoop FileSystem API throughout, so the same code runs on
   * HDFS/S3A on a real cluster.
@@ -26,7 +32,19 @@ final class IcebergLite(val root: String) extends Serializable {
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Legacy (pre-snapshot) unit data dir; version 0 reads from here. */
   def dataPath(unit: Int): String = s"$root/data/unit=$unit"
+
+  /** Versioned unit data dir. The version segment is deliberately NOT
+    * `key=value` syntax (`v-<k>`, not `v=<k>`) so Spark's partition
+    * discovery sees only the `unit=` level — readers get the same
+    * `unit` partition column as before versioning, never a `v` column.
+    * Data files are IMMUTABLE per version: a re-publish writes v(k+1)
+    * beside v(k), which is what makes snapshot reads (time travel)
+    * possible.
+    */
+  def dataPath(unit: Int, version: Int): String =
+    if (version == 0) dataPath(unit) else s"$root/data/unit=$unit/v-$version"
 
   /** Manifests are versioned: `unit-<u>-v<k>.json`. A re-publish writes
     * v(k+1) via tmp + atomic rename BEFORE deleting vk, so a committed
@@ -91,52 +109,147 @@ final class IcebergLite(val root: String) extends Serializable {
     publish(df.sparkSession, unit, metrics)
   }
 
-  /** Stage a unit's data files (not yet visible to readers). */
-  def writeData(df: DataFrame, unit: Int): Unit =
-    df.write.mode("overwrite").parquet(dataPath(unit))
+  /** The version a writeData/publish pair will create next. */
+  private def nextVersion(f: FileSystem, unit: Int): Int =
+    latestVersions(f).get(unit).map(_ + 1).getOrElse(1)
 
-  /** Read back a staged (possibly uncommitted) unit's data. */
-  def readUnit(spark: SparkSession, unit: Int): DataFrame =
-    spark.read.parquet(dataPath(unit))
+  /** Stage a unit's data files at the NEXT version (not yet visible to
+    * readers; re-staging before publish overwrites the same staged
+    * version). Committed versions' files are never touched.
+    */
+  def writeData(df: DataFrame, unit: Int): Unit = {
+    val f = fs(df.sparkSession)
+    df.write.mode("overwrite").parquet(dataPath(unit, nextVersion(f, unit)))
+  }
 
-  /** Atomically publish a staged unit with lineage + metrics. */
+  /** Read back a unit's data: the staged next version if present,
+    * otherwise the committed latest.
+    */
+  def readUnit(spark: SparkSession, unit: Int): DataFrame = {
+    val f = fs(spark)
+    val staged = new Path(dataPath(unit, nextVersion(f, unit)))
+    val p =
+      if (f.exists(staged)) staged.toString
+      else dataPath(unit, latestVersions(f).getOrElse(unit,
+        sys.error(s"unit $unit has no staged or committed data")))
+    spark.read.parquet(p)
+  }
+
+  /** Atomically publish a staged unit with lineage + metrics, then
+    * record a table-level snapshot.
+    */
   def publish(spark: SparkSession, unit: Int,
       metrics: Map[String, String] = Map.empty): Unit = {
     val f = fs(spark)
+    val next = nextVersion(f, unit)
     // lineage: input fingerprint + row/byte counts from the written files
-    val written = f.listStatus(new Path(dataPath(unit)))
+    val written = f.listStatus(new Path(dataPath(unit, next)))
       .filter(_.getPath.getName.endsWith(".parquet"))
     val bytes = written.map(_.getLen).sum
     val fields = Map(
       "unit" -> unit.toString,
+      "version" -> next.toString,
       "files" -> written.length.toString,
       "bytes" -> bytes.toString) ++ metrics
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
       .mkString("{", ", ", "}")
     f.mkdirs(manifestDir)
-    val next = latestVersions(f).get(unit) match {
-      case Some(v) => v + 1
-      case None => 1
-    }
     val tmp = new Path(s"$root/manifest/.unit-$unit-v$next.json.tmp")
     val out = f.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
     f.rename(tmp, manifestPath(unit, next)) // atomic commit of v(next)
-    // retire superseded versions (incl. a legacy unversioned file) only
-    // after the new one is visible
+    // retire superseded manifest versions (incl. a legacy unversioned
+    // file) only after the new one is visible — their DATA stays until
+    // a snapshot referencing it expires
     manifestEntries(f).filter { case (u, v) => u == unit && v < next }
       .foreach { case (u, v) => f.delete(entryPath(f, u, v), false) }
+    commitSnapshot(f)
+  }
+
+  // ---------------- snapshots (time travel) ----------------
+
+  private def snapshotDir = new Path(s"$root/snapshot")
+  private def snapshotPath(n: Int) = new Path(s"$root/snapshot/snap-$n.json")
+
+  private def snapshotIdsOf(f: FileSystem): Seq[Int] =
+    if (!f.exists(snapshotDir)) Seq.empty
+    else f.listStatus(snapshotDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+        n.stripPrefix("snap-").stripSuffix(".json").toInt }
+      .sorted
+
+  /** Write snapshot N+1 = the current committed (unit → version) map,
+    * via tmp + atomic rename — the Iceberg snapshot-commit idea. Called
+    * on every publish, so each table state is addressable for time
+    * travel until expired.
+    */
+  private def commitSnapshot(f: FileSystem): Unit = {
+    val state = latestVersions(f).toSeq.sorted
+    val n = snapshotIdsOf(f).lastOption.getOrElse(0) + 1
+    val json = state.map { case (u, v) => s""""$u": $v""" }.mkString("{", ", ", "}")
+    f.mkdirs(snapshotDir)
+    val tmp = new Path(s"$root/snapshot/.snap-$n.json.tmp")
+    val out = f.create(tmp, true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    f.rename(tmp, snapshotPath(n))
+  }
+
+  /** Committed snapshot ids, oldest first. */
+  def snapshots(spark: SparkSession): Seq[Int] = snapshotIdsOf(fs(spark))
+
+  private def snapshotState(f: FileSystem, id: Int): Seq[(Int, Int)] = {
+    val p = snapshotPath(id)
+    require(f.exists(p), s"no snapshot $id under $root")
+    val in = f.open(p)
+    val json = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    in.close()
+    "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(json)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq.sorted
+  }
+
+  /** TIME TRAVEL: read the table exactly as of snapshot `id` — the
+    * (unit, version) data files that snapshot committed, regardless of
+    * later publishes. Versioned data is immutable, so this is correct
+    * until the snapshot is expired.
+    */
+  def readAt(spark: SparkSession, id: Int): DataFrame = {
+    val state = snapshotState(fs(spark), id)
+    require(state.nonEmpty, s"snapshot $id is empty")
+    spark.read
+      .option("basePath", s"$root/data")
+      .parquet(state.map { case (u, v) => dataPath(u, v) }: _*)
+  }
+
+  /** Expire all but the newest `keepLast` snapshots and DELETE data
+    * versions no kept snapshot (nor the live state) references — the
+    * Iceberg retention story that bounds storage growth under
+    * re-publishes.
+    */
+  def expireSnapshots(spark: SparkSession, keepLast: Int = 1): Unit = {
+    val f = fs(spark)
+    val ids = snapshotIdsOf(f)
+    val (expire, keep) = ids.splitAt(math.max(0, ids.length - math.max(1, keepLast)))
+    val referenced: Set[(Int, Int)] =
+      keep.flatMap(snapshotState(f, _)).toSet ++ latestVersions(f).toSeq
+    expire.foreach { id =>
+      snapshotState(f, id).foreach { case (u, v) =>
+        if (!referenced((u, v))) f.delete(new Path(dataPath(u, v)), true)
+      }
+      f.delete(snapshotPath(id), false)
+    }
   }
 
   /** Read the committed table (only units with manifest entries). */
   def read(spark: SparkSession): DataFrame = {
-    val units = committedUnits(spark)
-    require(units.nonEmpty, s"no committed units under $root")
+    val f = fs(spark)
+    val latest = latestVersions(f).toSeq.sorted
+    require(latest.nonEmpty, s"no committed units under $root")
     spark.read
       .option("basePath", s"$root/data")
-      .parquet(units.map(dataPath): _*)
+      .parquet(latest.map { case (u, v) => dataPath(u, v) }: _*)
   }
 
   /** The manifest itself as a DataFrame (per-unit lineage + metrics),

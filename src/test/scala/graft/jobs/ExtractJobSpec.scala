@@ -107,6 +107,36 @@ class ExtractJobSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("snapshots: time travel reads past table states; expiry bounds storage") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val t = new IcebergLite(dir)
+    t.commitUnit(Seq((1L, "a")).toDF("id", "v"), 0)                  // snap 1
+    t.commitUnit(Seq((2L, "b")).toDF("id", "v"), 1)                  // snap 2
+    t.commitUnit(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), 0)      // snap 3: unit 0 v2
+    assert(t.snapshots(spark) == Seq(1, 2, 3))
+    // live view: latest of each unit
+    assert(t.read(spark).count() == 3)
+    // time travel: snap 1 had only unit 0 v1
+    assert(t.readAt(spark, 1).select("v").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // snap 2: unit 0 v1 + unit 1 v1
+    assert(t.readAt(spark, 2).count() == 2)
+    assert(t.readAt(spark, 2).where(col("unit") === 0)
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // snap 3 == live
+    assert(t.readAt(spark, 3).count() == 3)
+    // expire all but the newest: unit 0 v1's data (referenced only by
+    // snaps 1-2) is deleted; the live state still reads
+    t.expireSnapshots(spark, keepLast = 1)
+    assert(t.snapshots(spark) == Seq(3))
+    assert(!Files.exists(java.nio.file.Paths.get(t.dataPath(0, 1))),
+      "expired data version must be deleted")
+    assert(t.read(spark).count() == 3)
+    assert(t.readAt(spark, 3).count() == 3)
+    intercept[IllegalArgumentException](t.readAt(spark, 1))
+    t.drop(spark)
+  }
+
   test("legacy unversioned manifests read as committed (version 0) and retire on republish") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-legacy").toString
