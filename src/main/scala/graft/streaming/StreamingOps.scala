@@ -39,6 +39,22 @@ object StreamingOps {
   private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def unique(base: String): String = s"${base}_${nameSeq.incrementAndGet()}"
 
+  /** Start a stream with a pinned (narrow) state partitioning. Stateful
+    * operators instantiate state-store providers per shuffle partition
+    * per micro-batch; at local-mode volumes that setup dominates the
+    * runtime (measured 3:1 on the stream-stream join at 32 partitions),
+    * so streams here start under `n` partitions — captured at stream
+    * start, restored immediately after. On a real cluster this is sized
+    * to key cardinality instead; results are partitioning-independent.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(start: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      start
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window event aggregation over a parquet event stream.
     * Complete output mode + memory sink: after processAllAvailable the
     * result equals the equivalent batch GROUP BY (the oracle in
@@ -57,12 +73,14 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
@@ -137,12 +155,14 @@ object StreamingOps {
 
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
@@ -183,21 +203,16 @@ object StreamingOps {
       .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
         col("l_user").as("user_id"))
     // the symmetric-hash join instantiates FOUR state stores per shuffle
-    // partition per micro-batch; at local-mode data volumes the store
-    // setup dominates, so pin a narrow state partitioning for this query
-    // (captured at stream start; restored immediately after). On a real
-    // cluster this is sized to the key cardinality instead.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(queryName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // partition per micro-batch — the heaviest case for the narrow
+    // state partitioning (see withStatePartitions)
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
