@@ -138,4 +138,64 @@ object PropertySpec extends Properties("graft") {
       val b = graft.ops.TextAnalysis.winnow(s)
       a.toSeq == b.toSeq && a.length <= math.max(1, s.length)
     }
+
+  property("warc: encode/parse roundtrip on arbitrary payload bytes and URIs") =
+    forAll(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.alphaNumStr.map(s => s"https://h.example/${s.take(40)}")) { (payload, uri) =>
+      val f = graft.sources.Warc.encodeFile(Seq(
+        graft.sources.Warc.encodeRecord(uri, "2024-01-01T00:00:00Z", payload)))
+      val rs = graft.sources.Warc.parseFile(f)
+      rs.length == 1 && rs.head.warcType == "response" &&
+        rs.head.targetUri == uri && rs.head.payload.sameElements(payload)
+    }
+
+  property("warc: parseFile total on arbitrary bytes, errors are data") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { bytes =>
+      graft.sources.Warc.parseFile(bytes).forall(r => r.warcType != null)
+    }
+
+  property("warc: parseFile total on corrupted valid files") =
+    forAll(Gen.choose(0, 200), Gen.choose(Byte.MinValue, Byte.MaxValue)) { (at, b) =>
+      val f = graft.sources.Warc.encodeFile(Seq(
+        graft.sources.Warc.encodeRecord("https://h.example/x",
+          "2024-01-01T00:00:00Z", ("body " * 20).getBytes("UTF-8"))))
+      val c = f.clone()
+      c(at % f.length) = b
+      graft.sources.Warc.parseFile(c).forall(r => r.warcType != null)
+    }
+
+  property("bpe: countTokens total, deterministic, >= piece count") =
+    forAll(Gen.asciiStr.map(_.take(500))) { s =>
+      val ranks = graft.text.Bpe.ranksOf(Seq(("a", "b"), ("ab", "c"), (" ", "t")))
+      val c1 = graft.text.Bpe.countTokens(s,
+        ranks, new java.util.HashMap[String, Int]())
+      val c2 = graft.text.Bpe.countTokens(s,
+        ranks, new java.util.HashMap[String, Int]())
+      val pieces = graft.text.Bpe.pretokenize(s).size
+      c1 == c2 && c1 >= pieces
+    }
+
+  property("bpe: train total and deterministic on arbitrary corpora") =
+    forAll(Gen.listOfN(5, Gen.asciiStr.map(_.take(80)))) { texts =>
+      val m1 = graft.text.Bpe.train(texts, numMerges = 16)
+      val m2 = graft.text.Bpe.train(texts, numMerges = 16)
+      m1 == m2 && m1.length <= 16
+    }
+
+  property("bpe: merges artifact escape round-trips arbitrary symbols") =
+    forAll(Gen.asciiStr.map(_.take(20)), Gen.asciiStr.map(_.take(20))) { (a, b) =>
+      graft.text.Bpe.unescape(graft.text.Bpe.escape(a)) == a &&
+        graft.text.Bpe.unescape(graft.text.Bpe.escape(b)) == b
+    }
+
+  property("gopherMetrics total; alpha fraction bounded; counts non-negative") =
+    forAll(Gen.asciiStr.map(_.take(1000))) { s =>
+      val (nw, mean, sym, alpha, g2, g3) = graft.ops.TextAnalysis.gopherMetrics(s)
+      // n-gram char fractions can exceed 10000 bp by construction:
+      // overlapping occurrences ("a a a a") count a character into
+      // several gram instances — the repetition signal, not a bug
+      nw >= 0 && mean >= 0 && sym >= 0 &&
+        alpha >= 0 && alpha <= 10000 && g2 >= 0 && g3 >= 0
+    }
 }
