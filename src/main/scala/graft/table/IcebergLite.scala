@@ -46,6 +46,37 @@ final class IcebergLite(val root: String) extends Serializable {
   def dataPath(unit: Int, version: Int): String =
     if (version == 0) dataPath(unit) else s"$root/data/unit=$unit/v-$version"
 
+  /** Resolve a (unit, version) entry to the dir actually holding its
+    * files. Version 0 is the legacy layout — files originally sit
+    * directly in `data/unit=<u>`, the PARENT of every versioned
+    * `v-<k>` dir — so once [[migrateLegacy]] has moved them into
+    * `v-0`, that subdir is the truth.
+    */
+  private def resolvedDataPath(f: FileSystem, unit: Int, version: Int): String = {
+    val migrated = s"$root/data/unit=$unit/v-0"
+    if (version == 0 && f.exists(new Path(migrated))) migrated
+    else dataPath(unit, version)
+  }
+
+  /** Move loose legacy version-0 files into a `v-0` subdir so version
+    * 0 gets its own immutable dir like any other version. Without
+    * this, reading or expiring version 0 touches the parent of every
+    * versioned dir: readers recursively pick up staged/newer `v-<k>`
+    * files, and expiry would delete ALL live versions of the unit.
+    * Idempotent; no-op for non-legacy units. Runs before staging
+    * ([[writeData]]) and before expiry deletes.
+    */
+  private def migrateLegacy(f: FileSystem, unit: Int): Unit = {
+    val parent = new Path(dataPath(unit))
+    if (!f.exists(parent)) return
+    val loose = f.listStatus(parent).filter(_.isFile)
+    if (loose.nonEmpty) {
+      val v0 = new Path(s"$root/data/unit=$unit/v-0")
+      f.mkdirs(v0)
+      loose.foreach(s => f.rename(s.getPath, new Path(v0, s.getPath.getName)))
+    }
+  }
+
   /** Manifests are versioned: `unit-<u>-v<k>.json`. A re-publish writes
     * v(k+1) via tmp + atomic rename BEFORE deleting vk, so a committed
     * unit always has at least one manifest entry — first-time publish
@@ -119,6 +150,7 @@ final class IcebergLite(val root: String) extends Serializable {
     */
   def writeData(df: DataFrame, unit: Int): Unit = {
     val f = fs(df.sparkSession)
+    migrateLegacy(f, unit) // staged v-<k> must not nest under live legacy files
     df.write.mode("overwrite").parquet(dataPath(unit, nextVersion(f, unit)))
   }
 
@@ -130,7 +162,7 @@ final class IcebergLite(val root: String) extends Serializable {
     val staged = new Path(dataPath(unit, nextVersion(f, unit)))
     val p =
       if (f.exists(staged)) staged.toString
-      else dataPath(unit, latestVersions(f).getOrElse(unit,
+      else resolvedDataPath(f, unit, latestVersions(f).getOrElse(unit,
         sys.error(s"unit $unit has no staged or committed data")))
     spark.read.parquet(p)
   }
@@ -216,11 +248,12 @@ final class IcebergLite(val root: String) extends Serializable {
     * until the snapshot is expired.
     */
   def readAt(spark: SparkSession, id: Int): DataFrame = {
-    val state = snapshotState(fs(spark), id)
+    val f = fs(spark)
+    val state = snapshotState(f, id)
     require(state.nonEmpty, s"snapshot $id is empty")
     spark.read
       .option("basePath", s"$root/data")
-      .parquet(state.map { case (u, v) => dataPath(u, v) }: _*)
+      .parquet(state.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)
   }
 
   /** Expire all but the newest `keepLast` snapshots and DELETE data
@@ -236,7 +269,13 @@ final class IcebergLite(val root: String) extends Serializable {
       keep.flatMap(snapshotState(f, _)).toSet ++ latestVersions(f).toSeq
     expire.foreach { id =>
       snapshotState(f, id).foreach { case (u, v) =>
-        if (!referenced((u, v))) f.delete(new Path(dataPath(u, v)), true)
+        if (!referenced((u, v))) {
+          if (v == 0) migrateLegacy(f, u)
+          val p = new Path(resolvedDataPath(f, u, v))
+          // version 0 that never migrated resolves to the PARENT dir of
+          // every versioned dir — nothing legacy remains there, so skip
+          if (v > 0 || p.getName == "v-0") f.delete(p, true)
+        }
       }
       f.delete(snapshotPath(id), false)
     }
@@ -249,7 +288,7 @@ final class IcebergLite(val root: String) extends Serializable {
     require(latest.nonEmpty, s"no committed units under $root")
     spark.read
       .option("basePath", s"$root/data")
-      .parquet(latest.map { case (u, v) => dataPath(u, v) }: _*)
+      .parquet(latest.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)
   }
 
   /** The manifest itself as a DataFrame (per-unit lineage + metrics),

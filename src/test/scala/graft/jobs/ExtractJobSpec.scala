@@ -161,6 +161,35 @@ class ExtractJobSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("legacy version-0 data migrates to v-0: expiry keeps live versions, staged rows stay invisible") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-legacy-v0").toString
+    val t = new IcebergLite(dir)
+    def manifest(u: Int): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/manifest").resolve(s"unit-$u.json"),
+        s"""{"unit": "$u"}""")
+    // pre-upgrade table: loose parquet files directly in data/unit=<u>
+    new java.io.File(s"$dir/manifest").mkdirs()
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/data/unit=0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/unit=1")
+    manifest(0); manifest(1)
+    assert(t.read(spark).count() == 2)
+    // staging over a legacy unit must not leak into committed reads
+    t.writeData(Seq((3L, "c")).toDF("id", "v"), 0)
+    assert(t.read(spark).count() == 2, "staged v-1 rows leaked into a version-0 read")
+    t.publish(spark, 0)                                   // snap1 = {0:1, 1:0}
+    t.commitUnit(Seq((4L, "d")).toDF("id", "v"), 1)       // snap2 = {0:1, 1:1}
+    t.commitUnit(Seq((5L, "e"), (6L, "f")).toDF("id", "v"), 1) // snap3 = {0:1, 1:2}
+    // expiring snap1 drops (1, 0) — the legacy version — and must NOT
+    // take unit 1's live versioned dirs down with it
+    t.expireSnapshots(spark, keepLast = 2)
+    assert(t.snapshots(spark) == Seq(2, 3))
+    assert(t.read(spark).select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("c", "e", "f"), "live versions destroyed by legacy-version expiry")
+    assert(t.readAt(spark, 2).count() == 2)
+    t.drop(spark)
+  }
+
   test("host-grouped mode with salting spreads the hot host") {
     import spark.implicits._
     // skew family: all rows on host-0.example
