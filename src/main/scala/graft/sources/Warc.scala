@@ -194,6 +194,32 @@ object Warc {
     members.map(parseRecord) ++ err.map(error).toSeq
   }
 
+  /** Record types whose payload is page content. `warcinfo`, `request`,
+    * `metadata` and `revisit` records (one or more per page in a real
+    * Common-Crawl segment) are crawl structure, not documents — turning
+    * them into page rows would feed request headers and WAT metadata to
+    * the extractor as "html" roughly 2:1 against real pages.
+    */
+  private val pageTypes = Set("response", "resource", "conversion")
+
+  /** A real `response` record's payload is a full HTTP message (status
+    * line + headers + body); the document is the body. Payloads that
+    * don't start with `HTTP/` (e.g. our own writer's raw-html records)
+    * pass through untouched.
+    */
+  private[sources] def httpBody(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < 5 ||
+        new String(payload, 0, 5, UTF_8) != "HTTP/") return payload
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    payload // header block never terminated — keep everything
+  }
+
   /** WARC ingestion source: a directory of `.warc.gz` files → a pages
     * DataFrame `(url, warc_ts, html, warc_file, succeeded,
     * failure_reason)` feeding the extraction cascade — the real
@@ -201,7 +227,7 @@ object Warc {
     * task per file; at Common-Crawl's ~1 GB-per-file layout that is the
     * natural split unit, and a custom FileFormat splitting at member
     * boundaries would be the next step if files were larger). Parse
-    * failures are rows.
+    * failures are rows; non-page record types are dropped.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -211,13 +237,13 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
-        parseFile(bytes).iterator.map { r =>
-          if (r.warcType == "error")
+        parseFile(bytes).iterator.collect {
+          case r if r.warcType == "error" =>
             (null: String, null: String, null: Array[Byte], path,
               false, r.headers.getOrElse("x-parse-error", "parse error"))
-          else
-            (r.targetUri, r.headers.getOrElse("warc-date", null), r.payload,
-              path, true, null: String)
+          case r if pageTypes(r.warcType) =>
+            (r.targetUri, r.headers.getOrElse("warc-date", null),
+              httpBody(r.payload), path, true, null: String)
         }
       })
       .toDF("url", "warc_ts", "html", "warc_file", "succeeded", "failure_reason")
