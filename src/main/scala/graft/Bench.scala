@@ -61,16 +61,22 @@ object Bench {
       else if (sfDir.contains("sf0.01")) 120000L else 8000L
 
     // ---- stage the scaling input once (not timed) ----
-    val pagesPath: String = Files.createTempDirectory("graft-bench-pages").toString
-    locally {
-      val s = session(cpus)
-      graft.table.SyntheticPages.generate(s, scalePages, partitions = 128)
-        .toDF().write.mode("overwrite").parquet(pagesPath)
-      // JIT warmup of the extraction kernels (C2 needs a real pass)
-      graft.extract.Extract.extractPages(
-        graft.table.SyntheticPages.generate(s, 8000, partitions = 32).toDF()).count()
-      s.stop()
-    }
+    // queries mode never reads it (the suite reads sfDir, and per-query
+    // min-of-3 reps already absorbs JIT warmup), so skip the minutes of
+    // staging + warmup entirely there
+    val pagesPath: String =
+      if (mode == "queries") null
+      else {
+        val p = Files.createTempDirectory("graft-bench-pages").toString
+        val s = session(cpus)
+        graft.table.SyntheticPages.generate(s, scalePages, partitions = 128)
+          .toDF().write.mode("overwrite").parquet(p)
+        // JIT warmup of the extraction kernels (C2 needs a real pass)
+        graft.extract.Extract.extractPages(
+          graft.table.SyntheticPages.generate(s, 8000, partitions = 32).toDF()).count()
+        s.stop()
+        p
+      }
 
     // ---- scaling FIRST: same job, nLow vs cpus threads, same input ----
     // runs before the query suite so the timed regions see a young heap
@@ -117,6 +123,12 @@ object Bench {
           (rh / rl) / (nHigh.toDouble / nLow),
           (rPeak / rm) / (cpus.toDouble / nMid)))
       }
+    // the staged corpus is hundreds of MB per run — don't leak it
+    if (pagesPath != null) try {
+      java.nio.file.Files.walk(Paths.get(pagesPath)).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
 
     // ---- per-query timings at the configured parallelism ----
     // each query runs 3x and reports the min: the first rep pays

@@ -74,8 +74,12 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var planes: Array[Array[Float]] = null
+        var dim = -1 // keyed on dim: a mixed-dim table re-derives, not crashes
         it.map { case (id, v) =>
-          if (planes == null) planes = Array.tabulate(bits)(hyperplane(_, v.length))
+          if (v.length != dim) {
+            dim = v.length
+            planes = Array.tabulate(bits)(hyperplane(_, dim))
+          }
           var sig = 0
           var p = 0
           while (p < bits) {
@@ -186,8 +190,12 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var planes: Array[Array[Float]] = null // derived once per partition
+        var dim = -1 // keyed on dim: a mixed-dim table re-derives, not crashes
         it.map { case (id, v) =>
-          if (planes == null) planes = tablePlanes(bits, tables, v.length)
+          if (v.length != dim) {
+            dim = v.length
+            planes = tablePlanes(bits, tables, dim)
+          }
           (id, tableSignatures(v, bits, tables, planes))
         }
       }

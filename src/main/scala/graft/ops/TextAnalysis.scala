@@ -136,12 +136,37 @@ object TextAnalysis {
     * SQL from the same definitions:
     *
     *  - words = Python-\s split of the stripped, lowercased text
+    *  - len() = CODE POINTS (DuckDB length()) and gram tie-breaks use
+    *    code-point order (UTF-8 byte order), not UTF-16-unit order
     *  - mean_word_len_bp  = floor(sum(len(w)) / n * 10^4)
     *  - symbol_ratio_bp   = floor((count('#') + count_nonoverlap('...')) / n * 10^4)
     *  - alpha_word_bp     = floor(#words containing [a-z] / n * 10^4)
     *  - topKgram_char_bp  = floor(cnt(top) * len(top) / len(stripped) * 10^4),
     *    top = argmax by (count desc, gram asc), grams joined with ' '
     */
+  /** Code-point length — DuckDB's `length()` counts code points, while
+    * JVM `String.length` counts UTF-16 units (an astral char is 2).
+    */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Code-point order == UTF-8 byte order, which is what the SQL
+    * oracle's `ORDER BY g` / `min(g)` uses for tie-breaks. Plain JVM
+    * String order is UTF-16-unit order, which ranks U+E000..U+FFFF
+    * after supplementary chars — the opposite of UTF-8.
+    */
+  private[ops] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def gopherMetrics(text: String): (Long, Long, Long, Long, Long, Long) = {
     val t = graft.text.PyText.strip(if (text == null) "" else text)
     if (t.isEmpty) return (0L, 0L, 0L, 0L, 0L, 0L)
@@ -161,7 +186,7 @@ object TextAnalysis {
     var sumLen = 0L
     var alpha = 0L
     words.foreach { w =>
-      sumLen += w.length
+      sumLen += cpLen(w)
       if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
     }
     // '#' chars + non-overlapping '...' runs, counted on the RAW text
@@ -186,13 +211,13 @@ object TextAnalysis {
       while (it.hasNext) {
         val e = it.next()
         if (e.getValue > bestC ||
-            (e.getValue == bestC && (best == null || e.getKey < best))) {
+            (e.getValue == bestC && (best == null || cpCompare(e.getKey, best) < 0))) {
           best = e.getKey; bestC = e.getValue
         }
       }
       // integer multiply FIRST, then double divide — the SQL oracle
       // evaluates cnt * length(g) / len * 10000 in the same order
-      math.floor((bestC.toLong * best.length).toDouble / t.length * 10000.0).toLong
+      math.floor((bestC.toLong * cpLen(best)).toDouble / cpLen(t) * 10000.0).toLong
     }
 
     (nw.toLong,

@@ -97,6 +97,17 @@ class OpsSpec extends AnyFunSuite {
     // degenerate inputs
     assert(TextAnalysis.gopherMetrics("") == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(TextAnalysis.gopherMetrics(null) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // non-BMP text: lengths are CODE POINTS (DuckDB length()), not
+    // UTF-16 units — "😀a bb" = words of cp-len 2 and 2 over 5 cps
+    val (n3, mean3, _, _, g23, _) = TextAnalysis.gopherMetrics("😀a bb")
+    assert(n3 == 2 && mean3 == 20000,
+      s"astral word length must count code points, got mean=$mean3")
+    assert(g23 == math.floor(1.0 * 5 / 5 * 10000).toLong)
+    // tie-break follows code-point (UTF-8 byte) order: U+1F600 < U+E000
+    // is FALSE in UTF-16-unit order but TRUE never — supplementary chars
+    // sort above all BMP chars
+    assert(TextAnalysis.cpCompare("😀", "") > 0)
+    assert("😀" < "", "JVM order differs — the kernel must not use it")
   }
 
   test("redactPii: counts and sequential replacement") {
