@@ -168,7 +168,6 @@ object StreamingOps {
     spark.table(queryName)
   }
 
-  /** FileStreamSource requires a directory; stage a lone file into one. */
   /** Stream-stream interval join — the canonical funnel correlation:
     * for every `leftType` event, the `rightType` events of the same
     * user within `windowMinutes` after it. Both sides are unbounded
@@ -218,6 +217,50 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming ingest dedup — at-least-once delivery makes exact
+    * duplicates a fact of life at the crawl edge, so the first stateful
+    * op a streaming corpus ingest needs is content-hash dedup.
+    * `dropDuplicatesWithinWatermark` holds a key only until the
+    * watermark passes its event time + delay — bounded state, the shape
+    * that survives an unbounded stream (plain streaming dropDuplicates
+    * keeps every key forever, the 100 TB/day failure mode).
+    *
+    * Re-delivery is simulated in-stream (every 3rd document is
+    * delivered twice, the copy 100 ms later); only the content hash is
+    * emitted, so the append-mode result is exactly the distinct hash
+    * set no matter which copy won the race — the batch DISTINCT oracle.
+    */
+  def streamDedup(spark: SparkSession, docsPath: String,
+      queryNameBase: String = "graft_stream_dedup"): DataFrame = {
+    val queryName = unique(queryNameBase)
+    val srcDir = stageDir(docsPath)
+    val schema = spark.read.parquet(srcDir).schema
+    val deduped = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("copy", explode(
+        when(pmod(col("doc_id"), lit(3)) === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      .withColumn("ts",
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          + make_dt_interval(lit(0), lit(0), lit(0),
+            col("doc_id").cast("double") + col("copy") * 0.1))
+      .withColumn("sha", sha2(col("text"), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sha")
+      .select(col("sha"))
+    val q = withStatePartitions(spark, 4) {
+      deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** FileStreamSource requires a directory; stage a lone file into one. */
   private def stageDir(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) path

