@@ -193,6 +193,15 @@ object SparkEntry {
           col("user_id").cast("long"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    "stream_dedup" -> ((s, dir) =>
+      // streaming ingest dedup with BOUNDED state
+      // (dropDuplicatesWithinWatermark): re-delivered documents (every
+      // 3rd delivered twice in-stream, at-least-once simulation) dedup
+      // to exactly the batch DISTINCT hash set, which is the oracle
+      graft.streaming.StreamingOps
+        .streamDedup(s, s"$dir/documents.parquet")
+        .orderBy(col("sha"))),
+
     "warc_roundtrip" -> ((s, dir) => {
       // WARC (ISO 28500) encode→decode roundtrip over real per-record
       // gzip members — the Common-Crawl .warc.gz layout whose member
@@ -392,7 +401,7 @@ object SparkEntry {
       // LSH buckets → candidate pairs → exact cosine verify): shuffles
       // (table, bucket, id) triples, never the full pair matrix.
       // SELF-SIZING: bits/tables derive from the corpus count via
-      // Similarity.lshSizing (buckets ≈ n/8, tables scaled to hold
+      // Similarity.lshSizing (buckets ≈ n/2, tables scaled to hold
       // recall) — fixed bits=8 measured 24.8× cost at 10× data. The
       // oracle inlines the plane set the SAME rule yields at the
       // driver's sf0.01 tier (500 vectors → bits=8, tables=8).
@@ -527,6 +536,101 @@ object SparkEntry {
           docs.where(col("doc_id") % 29 === 3),
           minShared = 2, maxDocFreq = 64)
         .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    "chunk_chars" -> ((s, dir) => {
+      // character-mode chunker (chunking.py:117-172) as a driver query.
+      // The corpus is punctuation-free word soup, so both derivations
+      // plant identical sentence enders (literal replaces) to exercise
+      // the sentence-end break path as well as the whitespace one;
+      // oracle = committed golden from an INDEPENDENT Python
+      // implementation (tools/char_chunk_expected.py), pinned at sf0.01
+      import s.implicits._
+      val cfg = graft.text.ChunkConfig(chunkSize = 120, overlap = 30,
+        minChunkSize = 20, preserveSentences = false)
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val aug = txt.replace("row ", "row. ").replace("fast ", "fast! ")
+            .replace("key ", "key? ")
+          graft.text.Chunker.chunk(aug, cfg).map(c =>
+            (id, c.chunk_id, c.text, c.start, c.end))
+        }
+        .toDF("doc_id", "chunk_id", "chunk_text", "chunk_start", "chunk_end")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "iceberg_travel" -> ((s, dir) => {
+      // snapshot time travel as a driver query: publish unit 0 twice
+      // (v1 = even doc_ids, v2 = all), then read snapshot 1 — which
+      // must still see v1 after the republish (immutable versioned
+      // data) — alongside the live table. The oracle recomputes both
+      // states relationally from `documents`
+      val root = java.nio.file.Files.createTempDirectory("graft-travel").toString
+      val lite = new graft.table.IcebergLite(root)
+      val docs = t(s, dir, "documents")
+      lite.commitUnit(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id"), 0) // snapshot 1
+      lite.commitUnit(docs.select("doc_id"), 0) // snapshot 2
+      val out = lite.readAt(s, 1).select(col("doc_id"))
+        .withColumn("state", lit("snap1"))
+        .unionByName(lite.read(s).select(col("doc_id"))
+          .withColumn("state", lit("live")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("state")
+      // bounded collect (2 rows) so the temp table can be dropped
+      // before the caller materializes the result
+      val rows = out.collect()
+      lite.drop(s)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    "format_envelopes" -> ((s, dir) => {
+      // the reference's four storage envelopes (storage/base.py:89-123)
+      // as a driver query: the exact serialized string each sink format
+      // would write, hashed — json / ndjson / md (txt is the identity
+      // envelope). title is null on every 4th row to exercise the md
+      // envelope's conditional header lines
+      import graft.text.TextFunctions._
+      val ts = lit("2024-01-01T00:00:00Z")
+      val title = when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(null).cast("string")).otherwise(concat(lit("Doc "), col("doc_id")))
+      val url = concat(lit("https://"), col("source"),
+        lit(".example/d/"), col("doc_id"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          sha2(jsonEnvelope(col("text"), col("source"), ts), 256).as("json_sha"),
+          sha2(ndjsonEnvelope(col("text"), col("source"), ts), 256).as("nd_sha"),
+          sha2(mdEnvelope(col("text"), title, url, col("source"),
+            lit("2024-01-01")), 256).as("md_sha"),
+          sha2(col("text"), 256).as("txt_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "url_slug" -> ((s, dir) => {
+      // URL normalization (cli/app.py:436-450 scheme defaulting) +
+      // filename slugging (storage/base.py:147-160) as a driver query.
+      // The corpus carries no URLs, so both engines synthesize the
+      // SAME url/title variants from doc_id — scheme'd, schemeless,
+      // protocol-relative, padded, uppercase-scheme — exercising every
+      // branch of both functions against the SQL oracle
+      val urlRaw = expr(
+        """CASE doc_id % 5
+          |  WHEN 0 THEN concat('https://', source, '.example/a/', doc_id)
+          |  WHEN 1 THEN concat(source, '.example/path/', doc_id)
+          |  WHEN 2 THEN concat('//cdn.', source, '.example/x/', doc_id)
+          |  WHEN 3 THEN concat('  ftp://files.', source, '.example/f/', doc_id, ' ')
+          |  ELSE concat('HTTP://', source, '.EXAMPLE/Z/', doc_id) END""".stripMargin)
+      val title = expr(
+        "CASE WHEN doc_id % 3 = 0 THEN NULL " +
+        "ELSE concat('Doc #', doc_id, ': ', source, '!!') END")
+      t(s, dir, "documents")
+        .select(col("doc_id"), urlRaw.as("url_raw"), title.as("title"))
+        .select(col("doc_id"),
+          graft.text.TextFunctions.normalizeUrl(col("url_raw")).as("url_norm"),
+          graft.text.TextFunctions.slug(col("title"), col("url_raw")).as("fname_slug"))
+        .orderBy(col("doc_id"))
     }),
 
     "vocab_topk" -> ((s, dir) =>
@@ -1084,6 +1188,60 @@ object SparkEntry {
         |FROM shared JOIN evsz USING (eval_id)
         |WHERE shared_shingles >= 2 ORDER BY train_id, eval_id""".stripMargin),
 
+    "chunk_chars" ->
+      ("SELECT doc_id, chunk_id, chunk_text, chunk_start, chunk_end " +
+        s"FROM read_parquet('$goldenDir/char_chunks_sf001.parquet') " +
+        "ORDER BY doc_id, chunk_id"),
+
+    "iceberg_travel" ->
+      ("""SELECT 'live' AS state, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_id
+        |FROM documents
+        |UNION ALL
+        |SELECT 'snap1', count(*)::BIGINT, sum(doc_id)::BIGINT
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY state""".stripMargin),
+
+    "format_envelopes" ->
+      ("""SELECT doc_id,
+        |  sha256('{"content":' || to_json(text) || ',"metadata":' || to_json(source)
+        |    || ',"timestamp":"2024-01-01T00:00:00Z"}') AS json_sha,
+        |  sha256('{"content":' || to_json(text) || '}' || chr(10)
+        |    || '{"metadata":' || to_json(source) || '}' || chr(10)
+        |    || '{"timestamp":"2024-01-01T00:00:00Z"}') AS nd_sha,
+        |  sha256(
+        |    CASE WHEN doc_id % 4 = 0 THEN '' ELSE '# Doc ' || doc_id || chr(10) END
+        |    || '**Source URL:** https://' || source || '.example/d/' || doc_id || chr(10)
+        |    || '**Author:** ' || source || chr(10)
+        |    || '**Date:** 2024-01-01' || chr(10)
+        |    || '---' || chr(10) || chr(10) || text) AS md_sha,
+        |  sha256(text) AS txt_sha
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "url_slug" ->
+      ("""WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://' || source || '.example/a/' || doc_id
+        |      WHEN 1 THEN source || '.example/path/' || doc_id
+        |      WHEN 2 THEN '//cdn.' || source || '.example/x/' || doc_id
+        |      WHEN 3 THEN '  ftp://files.' || source || '.example/f/' || doc_id || ' '
+        |      ELSE 'HTTP://' || source || '.EXAMPLE/Z/' || doc_id END AS url_raw,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL
+        |         ELSE 'Doc #' || doc_id || ': ' || source || '!!' END AS title
+        |  FROM documents),
+        |slugged AS (
+        |  SELECT doc_id, url_raw,
+        |    regexp_replace(regexp_replace(
+        |      lower(trim(coalesce(title, url_raw, 'scrag-output'))),
+        |      '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS s
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(trim(url_raw), '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |       THEN trim(url_raw)
+        |       ELSE 'https://' || regexp_replace(trim(url_raw), '^/+', '') END AS url_norm,
+        |  CASE WHEN s = '' THEN 'scrag-output' ELSE s END AS fname_slug
+        |FROM slugged ORDER BY doc_id""".stripMargin),
+
     "vocab_topk" ->
       (s"""SELECT word, count(*)::BIGINT AS n FROM (
         |  SELECT unnest(regexp_split_to_array(lower(text), '$pyWs+')) AS word
@@ -1263,6 +1421,9 @@ object SparkEntry {
         |  AND c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_dedup" ->
+      "SELECT DISTINCT sha256(text) AS sha FROM documents ORDER BY sha",
 
     "warc_roundtrip" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_len,
