@@ -360,6 +360,19 @@ object SparkEntry {
         bits = 8, probeHamming = 2)
     }),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup-style semantic dedup (Abbas et al. 2023): committed
+      // IVF centroids bound the pairwise compare to (n/k)^2 per cell
+      // after one shuffle; a vector is dropped when an earlier
+      // same-cell vector has cosine >= 0.4. Oracle recomputes the cell
+      // assignment from the same centroid literals and the drop rule
+      // with a correlated self-join
+      graft.ops.Similarity.semanticDedup(
+          t(s, dir, "embeddings"),
+          graft.ops.Similarity.centroidsFromFile(s"$goldenDir/ivf_centroids.txt"),
+          threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     "ann_ivf" -> ((s, dir) => {
       // IVF ANN: coarse quantizer trained once offline (committed
       // centroid artifact, like a production faiss quantizer) → cell
@@ -917,6 +930,24 @@ object SparkEntry {
         |  ORDER BY score DESC, id LIMIT 10)
         |SELECT id, floor(score * 10000)::BIGINT AS score_bp, label
         |FROM topk WHERE label = '2' ORDER BY id""".stripMargin,
+
+    "dedup_semantic" -> {
+      // same assignment fragment as ann_ivf (first-maximal tie rule);
+      // drop rule = correlated EXISTS over earlier same-cell vectors
+      val cs = graft.ops.Similarity
+        .centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+      val scoreList = cs
+        .map(c => s"list_cosine_similarity(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cells AS (SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell
+         |          FROM (SELECT vec_id, v, $scoreList AS s FROM e))
+         |SELECT a.vec_id, a.cell::INT AS cell,
+         |  NOT EXISTS (SELECT 1 FROM cells b WHERE b.cell = a.cell
+         |    AND b.vec_id < a.vec_id
+         |    AND list_cosine_similarity(b.v, a.v) >= 0.4) AS kept
+         |FROM cells a ORDER BY a.vec_id""".stripMargin
+    },
 
     "ann_ivf" -> {
       // cells and probes recomputed in SQL from the committed centroid

@@ -324,6 +324,59 @@ object Similarity {
       .select("vec_id", "score_bp")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
+    * cluster the embedding space (committed centroid artifact, same
+    * discipline as the IVF index) and prune near-duplicates WITHIN each
+    * cluster — a vector is dropped when an earlier (lower vec_id)
+    * vector of the SAME cell has cosine >= threshold with it. The
+    * clustering is what bounds the quadratic at 100 TB: after ONE
+    * shuffle on cell id the pairwise compare is (n/k)² per cell, not
+    * n² across the corpus, and k scales with the corpus exactly like
+    * [[lshSizing]] pins LSH bucket occupancy. The
+    * exists-an-earlier-near-dup rule (not connected components) keeps
+    * the semantics relational, so the oracle recomputes it with one
+    * correlated self-join per cell.
+    *
+    * Returns (vec_id, cell, kept).
+    */
+  def semanticDedup(embeddings: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double = 0.8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    ivfIndex(embeddings, centroids)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .mapPartitions { it =>
+        val base = it.buffered
+        new Iterator[Seq[(Long, Int, Boolean)]] {
+          def hasNext: Boolean = base.hasNext
+          def next(): Seq[(Long, Int, Boolean)] = {
+            // one consecutive same-cell run (cells are partition-local
+            // and sorted; a cell is n/k vectors, bounded by sizing)
+            val cell = base.head._3
+            val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+            while (base.hasNext && base.head._3 == cell) {
+              val r = base.next()
+              run += ((r._1, r._2))
+            }
+            run.indices.map { i =>
+              var kept = true
+              var j = 0
+              while (kept && j < i) {
+                if (cosineDouble(run(j)._2, run(i)._2) >= threshold) kept = false
+                j += 1
+              }
+              (run(i)._1, cell, kept)
+            }
+          }
+        }.flatten
+      }
+      .toDF("vec_id", "cell", "kept")
+  }
+
   /** Centroids ↔ committed text artifact (one comma-separated line per
     * centroid; Double.toString round-trips exactly, so the SQL oracle's
     * inlined literals equal the kernel's binary64 values).

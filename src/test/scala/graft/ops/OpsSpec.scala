@@ -110,6 +110,22 @@ class OpsSpec extends AnyFunSuite {
     assert("😀" < "", "JVM order differs — the kernel must not use it")
   }
 
+  test("semanticDedup: per-cell earlier-near-dup rule, cross-cell isolation") {
+    val centroids = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),    // cell 0, first -> kept
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // cell 0, cos(v0)=0.994 -> dropped
+      (2L, Array(0.1f, 0.9f, 0f, 0f)),  // cell 1, first -> kept
+      (3L, Array(0.2f, 0.8f, 0f, 0f)),  // cell 1, cos(v2)=0.99 -> dropped
+      (4L, Array(0.6f, -0.8f, 0f, 0f))  // cell 0, cos(v0)=0.6, cos(v1)=0.51 -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, centroids, threshold = 0.8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 0, true), (1L, 0, false),
+      (2L, 1, true), (3L, 1, false), (4L, 0, true)))
+  }
+
   test("redactPii: counts and sequential replacement") {
     val df = Seq((1L, "mail a.b@x.org and 10.0.0.1 ref 123-45-6789 done"))
       .toDF("doc_id", "text")
