@@ -125,10 +125,11 @@ object Bench {
       }
     // the staged corpus is hundreds of MB per run — don't leak it
     if (pagesPath != null) try {
-      java.nio.file.Files.walk(Paths.get(pagesPath)).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = java.nio.file.Files.walk(Paths.get(pagesPath))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    } catch { case _: Throwable => () }
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     // ---- per-query timings at the configured parallelism ----
     // each query runs 3x and reports the min: the first rep pays

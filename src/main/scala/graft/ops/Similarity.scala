@@ -343,10 +343,11 @@ object Similarity {
       threshold: Double = 0.8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // floats cross the cell exchange (half the shuffle bytes); widen to
+    // double only inside the per-run compare, where the arithmetic must
+    // match the DOUBLE[] oracle bit-for-bit
     ivfIndex(embeddings, centroids)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("cell"))
-      .as[(Long, Array[Double], Int)]
+      .as[(Long, Array[Float], Int)]
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .mapPartitions { it =>
@@ -360,7 +361,7 @@ object Similarity {
             val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
             while (base.hasNext && base.head._3 == cell) {
               val r = base.next()
-              run += ((r._1, r._2))
+              run += ((r._1, r._2.map(_.toDouble)))
             }
             run.indices.map { i =>
               var kept = true

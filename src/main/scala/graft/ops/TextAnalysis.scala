@@ -126,24 +126,6 @@ object TextAnalysis {
 
   // ---------------- Gopher-style repetition / format quality ----------------
 
-  /** Per-document repetition and format metrics in the spirit of the
-    * published Gopher quality rules (Rae et al. 2021, appendix A1.1 —
-    * public algorithm): word stats, symbol-to-word ratio, alpha-word
-    * fraction, and the fraction of characters covered by the most
-    * common word 2-gram / 3-gram (repetition signal). Computed in one
-    * per-row kernel pass (HashMap n-gram counts); every metric is
-    * relationally recomputable, so the driver oracle re-derives them in
-    * SQL from the same definitions:
-    *
-    *  - words = Python-\s split of the stripped, lowercased text
-    *  - len() = CODE POINTS (DuckDB length()) and gram tie-breaks use
-    *    code-point order (UTF-8 byte order), not UTF-16-unit order
-    *  - mean_word_len_bp  = floor(sum(len(w)) / n * 10^4)
-    *  - symbol_ratio_bp   = floor((count('#') + count_nonoverlap('...')) / n * 10^4)
-    *  - alpha_word_bp     = floor(#words containing [a-z] / n * 10^4)
-    *  - topKgram_char_bp  = floor(cnt(top) * len(top) / len(stripped) * 10^4),
-    *    top = argmax by (count desc, gram asc), grams joined with ' '
-    */
   /** Code-point length — DuckDB's `length()` counts code points, while
     * JVM `String.length` counts UTF-16 units (an astral char is 2).
     */
@@ -167,6 +149,24 @@ object TextAnalysis {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  /** Per-document repetition and format metrics in the spirit of the
+    * published Gopher quality rules (Rae et al. 2021, appendix A1.1 —
+    * public algorithm): word stats, symbol-to-word ratio, alpha-word
+    * fraction, and the fraction of characters covered by the most
+    * common word 2-gram / 3-gram (repetition signal). Computed in one
+    * per-row kernel pass (HashMap n-gram counts); every metric is
+    * relationally recomputable, so the driver oracle re-derives them in
+    * SQL from the same definitions:
+    *
+    *  - words = Python-\s split of the stripped, lowercased text
+    *  - len() = CODE POINTS (DuckDB length()) and gram tie-breaks use
+    *    code-point order (UTF-8 byte order), not UTF-16-unit order
+    *  - mean_word_len_bp  = floor(sum(len(w)) / n * 10^4)
+    *  - symbol_ratio_bp   = floor((count('#') + count_nonoverlap('...')) / n * 10^4)
+    *  - alpha_word_bp     = floor(#words containing [a-z] / n * 10^4)
+    *  - topKgram_char_bp  = floor(cnt(top) * len(top) / len(stripped) * 10^4),
+    *    top = argmax by (count desc, gram asc), grams joined with ' '
+    */
   def gopherMetrics(text: String): (Long, Long, Long, Long, Long, Long) = {
     val t = graft.text.PyText.strip(if (text == null) "" else text)
     if (t.isEmpty) return (0L, 0L, 0L, 0L, 0L, 0L)

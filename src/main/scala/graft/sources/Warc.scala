@@ -155,16 +155,22 @@ object Warc {
     (members.toSeq, None)
   }
 
-  /** Parse one decompressed WARC record (header block + framed payload). */
-  def parseRecord(bytes: Array[Byte]): WarcRecord = {
-    // header block ends at the first CRLF CRLF
-    var end = -1
-    var i = 0
-    while (end < 0 && i + 3 < bytes.length) {
+  /** Offset of the first CRLF CRLF at/after `from`, or -1 — the header
+    * block terminator of both WARC records and HTTP messages.
+    */
+  private def crlfCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < bytes.length) {
       if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') end = i
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
       i += 1
     }
+    -1
+  }
+
+  /** Parse one decompressed WARC record (header block + framed payload). */
+  def parseRecord(bytes: Array[Byte]): WarcRecord = {
+    val end = crlfCrlf(bytes, 0)
     if (end < 0) return error("no header terminator")
     val headerText = new String(bytes, 0, end, UTF_8)
     val lines = headerText.split("\r\n")
@@ -210,14 +216,9 @@ object Warc {
   private[sources] def httpBody(payload: Array[Byte]): Array[Byte] = {
     if (payload.length < 5 ||
         new String(payload, 0, 5, UTF_8) != "HTTP/") return payload
-    var i = 0
-    while (i + 3 < payload.length) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-          payload(i + 2) == '\r' && payload(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
-      i += 1
-    }
-    payload // header block never terminated — keep everything
+    val end = crlfCrlf(payload, 0)
+    if (end < 0) payload // header block never terminated — keep everything
+    else java.util.Arrays.copyOfRange(payload, end + 4, payload.length)
   }
 
   /** WARC ingestion source: a directory of `.warc.gz` files → a pages
@@ -241,9 +242,19 @@ object Warc {
           case r if r.warcType == "error" =>
             (null: String, null: String, null: Array[Byte], path,
               false, r.headers.getOrElse("x-parse-error", "parse error"))
+          case r if r.warcType == null =>
+            // WARC-Type is mandatory (ISO 28500 §5.5) — a record without
+            // it is malformed, and errors are ROWS, never silent drops
+            (r.targetUri, null: String, null: Array[Byte], path,
+              false, "missing warc-type")
           case r if pageTypes(r.warcType) =>
+            // only genuine response records carry an HTTP message to
+            // strip; conversion/resource payloads ARE the document, even
+            // when the document text happens to start with "HTTP/"
+            val body =
+              if (r.warcType == "response") httpBody(r.payload) else r.payload
             (r.targetUri, r.headers.getOrElse("warc-date", null),
-              httpBody(r.payload), path, true, null: String)
+              body, path, true, null: String)
         }
       })
       .toDF("url", "warc_ts", "html", "warc_file", "succeeded", "failure_reason")

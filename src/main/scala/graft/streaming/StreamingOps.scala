@@ -244,7 +244,14 @@ object StreamingOps {
           + make_dt_interval(lit(0), lit(0), lit(0),
             col("doc_id").cast("double") + col("copy") * 0.1))
       .withColumn("sha", sha2(col("text"), 256))
-      .withWatermark("ts", "10 minutes")
+      // the delay is the DEDUP HORIZON: a key's state lives until the
+      // watermark passes its event time + delay, so batch-DISTINCT
+      // equality needs the delay to exceed the corpus's widest
+      // duplicate event-time gap (synthesized ts spreads ~14h at sf0.1
+      // with twins up to ~1h apart) REGARDLESS of micro-batch split —
+      // with a short delay a multi-file source would evict a twin's
+      // state between batches and re-emit it
+      .withWatermark("ts", "2 days")
       .dropDuplicatesWithinWatermark("sha")
       .select(col("sha"))
     val q = withStatePartitions(spark, 4) {

@@ -251,6 +251,10 @@ final class IcebergLite(val root: String) extends Serializable {
     val f = fs(spark)
     val state = snapshotState(f, id)
     require(state.nonEmpty, s"snapshot $id is empty")
+    // a pre-upgrade table can hold loose legacy files BESIDE v-k dirs
+    // (the old writeData staged v-1 without migrating); migrate before
+    // resolving or the version-0 read recursively includes v-k files
+    state.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u) }
     spark.read
       .option("basePath", s"$root/data")
       .parquet(state.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)
@@ -286,6 +290,8 @@ final class IcebergLite(val root: String) extends Serializable {
     val f = fs(spark)
     val latest = latestVersions(f).toSeq.sorted
     require(latest.nonEmpty, s"no committed units under $root")
+    // see readAt: loose legacy files must not coexist with v-k dirs
+    latest.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u) }
     spark.read
       .option("basePath", s"$root/data")
       .parquet(latest.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)

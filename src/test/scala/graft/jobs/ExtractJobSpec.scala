@@ -188,6 +188,27 @@ class ExtractJobSpec extends AnyFunSuite {
       Seq("c", "e", "f"), "live versions destroyed by legacy-version expiry")
     assert(t.readAt(spark, 2).count() == 2)
     t.drop(spark)
+
+    // read-only pre-upgrade state (built by the PRE-fix writer): loose
+    // legacy files BESIDE a committed v-1, snapshot 1 referencing
+    // version 0 — time travel must see only the legacy rows
+    val dir2 = Files.createTempDirectory("graft-legacy-ro").toString
+    val t2 = new IcebergLite(dir2)
+    Seq((1L, "old")).toDF("id", "v").write.parquet(s"$dir2/data/unit=0")
+    Seq((2L, "new"), (3L, "new")).toDF("id", "v")
+      .write.parquet(s"$dir2/data/unit=0/v-1")
+    new java.io.File(s"$dir2/manifest").mkdirs()
+    new java.io.File(s"$dir2/snapshot").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/manifest/unit-0-v1.json"),
+      """{"unit": "0", "version": "1"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/snapshot/snap-1.json"),
+      """{"0": 0}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/snapshot/snap-2.json"),
+      """{"0": 1}""")
+    assert(t2.readAt(spark, 1).select("v").collect().map(_.getString(0)).toSeq ==
+      Seq("old"), "version-0 time travel must not mix in v-1 files")
+    assert(t2.readAt(spark, 2).count() == 2)
+    t2.drop(spark)
   }
 
   test("host-grouped mode with salting spreads the hot host") {
