@@ -442,6 +442,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "rag_format" -> ((s, dir) => {
+      // the reference's result formatting ("[Result i, Score: %.3f]\n
+      // content" joined by "\n\n---\n\n", query.py:109-141) over the
+      // same index as rag_topk — the driver-side tail of the query
+      // orchestration path. Bounded collect (k rows), like the
+      // reference's own formatting step
+      import s.implicits._
+      val index = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .select(format_string("doc_%05d", col("vec_id")).as("id"),
+          col("text").as("content"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val rows = graft.rag.Rag.search(index, anchorVec(s, dir), topK = 5,
+          threshold = 0.0)
+        .orderBy(desc("score"), asc("id"))
+        .select("content", "score").collect()
+      val formatted = graft.rag.Rag.formatResults(
+        rows.toSeq.map(r => (r.getString(0), r.getDouble(1))))
+      Seq(formatted).toDF("formatted")
+    }),
+
     "semi_join" -> ((s, dir) =>
       // customers having orders (left semi — EXISTS)
       t(s, dir, "customer")
@@ -917,6 +938,21 @@ object SparkEntry {
         |min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
         |max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rag_format" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT printf('doc_%05d', vec_id) AS id, d.text AS content,
+        |    list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM q)) AS score
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |topk AS (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn FROM (
+        |    SELECT * FROM scored WHERE score >= 0.0
+        |    ORDER BY score DESC, id LIMIT 5))
+        |SELECT string_agg(
+        |  printf('[Result %d, Score: %.3f]', rn, score) || chr(10) || content,
+        |  chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY rn) AS formatted
+        |FROM topk""".stripMargin,
 
     "rag_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
