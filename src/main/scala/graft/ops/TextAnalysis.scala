@@ -136,7 +136,7 @@ object TextAnalysis {
     * String order is UTF-16-unit order, which ranks U+E000..U+FFFF
     * after supplementary chars — the opposite of UTF-8.
     */
-  private[ops] def cpCompare(a: String, b: String): Int = {
+  private[graft] def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

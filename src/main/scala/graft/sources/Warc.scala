@@ -213,7 +213,7 @@ object Warc {
     * don't start with `HTTP/` (e.g. our own writer's raw-html records)
     * pass through untouched.
     */
-  private[sources] def httpBody(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def httpBody(payload: Array[Byte]): Array[Byte] = {
     if (payload.length < 5 ||
         new String(payload, 0, 5, UTF_8) != "HTTP/") return payload
     val end = crlfCrlf(payload, 0)

@@ -152,7 +152,20 @@ object PropertySpec extends Properties("graft") {
 
   property("warc: parseFile total on arbitrary bytes, errors are data") =
     forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { bytes =>
-      graft.sources.Warc.parseFile(bytes).forall(r => r.warcType != null)
+      // warcType CAN legitimately be null (record missing the mandatory
+      // WARC-Type header — Warc.read turns those into failure rows);
+      // the invariant is totality plus error records carrying a reason
+      graft.sources.Warc.parseFile(bytes).forall(r =>
+        r != null && (r.warcType != "error" || r.headers.contains("x-parse-error")))
+    }
+
+  property("warc: httpBody total; strips iff an HTTP header block terminates") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { payload =>
+      val out = graft.sources.Warc.httpBody(payload)
+      val isHttp = payload.length >= 5 &&
+        new String(payload, 0, 5, java.nio.charset.StandardCharsets.UTF_8) == "HTTP/"
+      if (!isHttp) out.sameElements(payload)
+      else out.length <= payload.length
     }
 
   property("warc: parseFile total on corrupted valid files") =
@@ -187,6 +200,19 @@ object PropertySpec extends Properties("graft") {
     forAll(Gen.asciiStr.map(_.take(20)), Gen.asciiStr.map(_.take(20))) { (a, b) =>
       graft.text.Bpe.unescape(graft.text.Bpe.escape(a)) == a &&
         graft.text.Bpe.unescape(graft.text.Bpe.escape(b)) == b
+    }
+
+  property("cpCompare sign equals UTF-8 byte-order compare on arbitrary unicode") =
+    forAll(Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString),
+        Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)) { (a, b) =>
+      // lone surrogates don't round-trip through UTF-8; compare on the
+      // well-formed projection (what any stored text actually is)
+      val wa = new String(a.getBytes("UTF-8"), "UTF-8")
+      val wb = new String(b.getBytes("UTF-8"), "UTF-8")
+      val byUtf8 = java.util.Arrays.compareUnsigned(
+        wa.getBytes("UTF-8"), wb.getBytes("UTF-8"))
+      Integer.signum(graft.ops.TextAnalysis.cpCompare(wa, wb)) ==
+        Integer.signum(byUtf8)
     }
 
   property("gopherMetrics total; alpha fraction bounded; counts non-negative") =
