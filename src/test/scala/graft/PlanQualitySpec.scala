@@ -262,6 +262,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(keyOnly == 1, s"expected 1 key-only exchange, got $keyOnly:\n$plan")
   }
 
+  test("dedup_semantic plans ONE cell exchange, no join, floats on the wire") {
+    // the SemDeDup scale story: assignment is a shuffle-free map, the
+    // pairwise compare costs exactly ONE hash exchange on cell id, and
+    // the vectors cross it as FLOATS (half the bytes of double)
+    val plan = SparkEntry.queries("dedup_semantic")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"semantic dedup regressed to a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 cell exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("cast(embedding"),
+      s"embedding must cross the exchange as float, not pre-cast:\n$plan")
+  }
+
+  test("chunk_chars scan prunes to doc_id+text") {
+    val plan = SparkEntry.queries("chunk_chars")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("source"),
+      s"chunker scan must prune to doc_id+text: $readSchema")
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)
