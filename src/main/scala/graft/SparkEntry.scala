@@ -533,6 +533,32 @@ object SparkEntry {
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    "corpus_mix" -> ((s, dir) => {
+      // deterministic corpus mixing + split assignment — the
+      // pretraining data-mixture op. Per-source target sampling rates
+      // (100/50/25/10% by source index mod 4) apply via a portable
+      // integer hash (pure BIGINT arithmetic, identical in both
+      // engines; no RNG — the sample is reproducible and
+      // partitioning-independent, which is what makes it re-runnable
+      // at 100 TB), plus a 98/1/1 train/val/test split from an
+      // INDEPENDENT hash so split membership never correlates with
+      // sampling. Output: per (source, split) kept counts + ws-token
+      // budget, the numbers a mixture config is tuned against
+      val weight = expr(
+        """CASE CAST(substring(source, 4) AS INT) % 4
+          |  WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin)
+      val h1 = pmod(col("doc_id") * lit(48271L) + lit(11L), lit(100L))
+      val h2 = pmod(col("doc_id") * lit(69621L) + lit(7L), lit(100L))
+      t(s, dir, "documents")
+        .where(h1 < weight)
+        .withColumn("split",
+          when(h2 < 98, "train").when(h2 === 98, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("ws_tokens"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     "token_count" -> ((s, dir) =>
       // whitespace words + BPE-ish pre-tokenizer pieces (the metric a
       // training pipeline bills by); both codegen'd regex columns
@@ -1189,6 +1215,21 @@ object SparkEntry {
         "true_out_height AS out_height, true_raw_crc AS raw_crc, " +
         "true_out_crc AS out_crc, true AS valid " +
         s"FROM read_parquet('$goldenDir/media_px.parquet') ORDER BY id"),
+
+    "corpus_mix" ->
+      """WITH kept AS (
+        |  SELECT source, text,
+        |    CASE WHEN (doc_id * 69621 + 7) % 100 < 98 THEN 'train'
+        |         WHEN (doc_id * 69621 + 7) % 100 = 98 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |  WHERE (doc_id * 48271 + 11) % 100 <
+        |    CASE CAST(substring(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END)
+        |SELECT source, split, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS ws_tokens
+        |FROM kept GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,
