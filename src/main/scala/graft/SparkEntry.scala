@@ -442,6 +442,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "rag_index_ops" -> ((s, dir) => {
+      // vector-index sink lifecycle (file_store.py:46-168) as one
+      // relational flow: build → upsert → delete → stats. The incoming
+      // batch re-embeds ids 0-9 with vec (id+100)'s embedding, except
+      // id 5 arrives TRUNCATED to 10 floats — the dim-mismatch skip
+      // must leave its old row intact; id 3 is then deleted. Output:
+      // the affected id range with its first component (proves which
+      // embedding won) plus the index stats
+      val emb = t(s, dir, "embeddings")
+      def asIndex(df: DataFrame) = df.select(
+        format_string("doc_%05d", col("vec_id")).as("id"), col("embedding"))
+      val inc = emb.where(col("vec_id") < 10).alias("a")
+        .join(emb.alias("b"), expr("b.vec_id = a.vec_id + 100"))
+        .select(format_string("doc_%05d", col("a.vec_id")).as("id"),
+          when(expr("a.vec_id = 5"), slice(col("b.embedding"), 1, 10))
+            .otherwise(col("b.embedding")).as("embedding"))
+      val upserted = graft.rag.Rag.upsertDocuments(asIndex(emb), inc, dim = 64)
+      val afterDelete = graft.rag.Rag.deleteDocument(upserted, "doc_00003")
+      afterDelete.where(expr("CAST(substring(id, 5) AS INT) < 15"))
+        .select(col("id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 10000)
+            .cast("long").as("e0_bp"),
+          size(col("embedding")).as("dim"))
+        .crossJoin(graft.rag.Rag.stats(afterDelete))
+        .orderBy(col("id"))
+    }),
+
     "rag_format" -> ((s, dir) => {
       // the reference's result formatting ("[Result i, Score: %.3f]\n
       // content" joined by "\n\n---\n\n", query.py:109-141) over the
@@ -964,6 +991,29 @@ object SparkEntry {
         |min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
         |max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rag_index_ops" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |inc AS (
+        |  SELECT a.vec_id AS tid,
+        |    CASE WHEN a.vec_id = 5 THEN b.embedding[1:10] ELSE b.embedding END AS emb
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 10),
+        |valid AS (SELECT * FROM inc WHERE len(emb) = 64),
+        |up AS (
+        |  SELECT vec_id, embedding FROM e
+        |  WHERE vec_id NOT IN (SELECT tid FROM valid)
+        |  UNION ALL SELECT tid, emb FROM valid),
+        |afterdel AS (SELECT * FROM up WHERE vec_id <> 3),
+        |stats AS (SELECT count(*)::BIGINT AS total_documents,
+        |                 max(len(embedding))::INT AS embedding_dimension
+        |          FROM afterdel)
+        |SELECT printf('doc_%05d', vec_id) AS id,
+        |  floor(embedding[1]::DOUBLE * 10000)::BIGINT AS e0_bp,
+        |  len(embedding)::INT AS dim,
+        |  (SELECT total_documents FROM stats) AS total_documents,
+        |  (SELECT embedding_dimension FROM stats) AS embedding_dimension
+        |FROM afterdel WHERE vec_id < 15 ORDER BY id""".stripMargin,
 
     "rag_format" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
