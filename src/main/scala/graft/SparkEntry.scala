@@ -569,13 +569,24 @@ object SparkEntry {
       // partitioning-independent, which is what makes it re-runnable
       // at 100 TB), plus a 98/1/1 train/val/test split from an
       // INDEPENDENT hash so split membership never correlates with
-      // sampling. Output: per (source, split) kept counts + ws-token
-      // budget, the numbers a mixture config is tuned against
+      // sampling. Each hash is TWO MINSTD steps (multiply mod a 31-bit
+      // prime, twice, different multipliers) then mod 100 — one affine
+      // step `(a*d+c) % 100` depends only on d mod 100, which silently
+      // correlates the two hashes (every sub-100% source would lose
+      // its entire val split), and a single mod-p step is still affine
+      // for d < p/a; the second multiply wraps p even at d = 0.
+      // Overflow-safe in DuckDB (which ERRORS on BIGINT overflow, no
+      // wraparound): max intermediate ~ 1e14 << 2^63.
+      // Output: per (source, split) kept counts + ws-token budget,
+      // the numbers a mixture config is tuned against
       val weight = expr(
         """CASE CAST(substring(source, 4) AS INT) % 4
           |  WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin)
-      val h1 = pmod(col("doc_id") * lit(48271L) + lit(11L), lit(100L))
-      val h2 = pmod(col("doc_id") * lit(69621L) + lit(7L), lit(100L))
+      val p = lit(2147483647L)
+      val h1 = pmod(pmod(pmod((col("doc_id") + lit(1L)) * lit(48271L), p)
+        * lit(48271L), p), lit(100L))
+      val h2 = pmod(pmod(pmod((col("doc_id") + lit(1L)) * lit(69621L), p)
+        * lit(69621L), p), lit(100L))
       t(s, dir, "documents")
         .where(h1 < weight)
         .withColumn("split",
@@ -1267,14 +1278,17 @@ object SparkEntry {
         s"FROM read_parquet('$goldenDir/media_px.parquet') ORDER BY id"),
 
     "corpus_mix" ->
-      """WITH kept AS (
+      """WITH hashed AS (
         |  SELECT source, text,
-        |    CASE WHEN (doc_id * 69621 + 7) % 100 < 98 THEN 'train'
-        |         WHEN (doc_id * 69621 + 7) % 100 = 98 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents
-        |  WHERE (doc_id * 48271 + 11) % 100 <
-        |    CASE CAST(substring(source, 4) AS INT) % 4
+        |    (doc_id + 1) * 48271 % 2147483647 * 48271 % 2147483647 % 100 AS h1,
+        |    (doc_id + 1) * 69621 % 2147483647 * 69621 % 2147483647 % 100 AS h2
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source, text,
+        |    CASE WHEN h2 < 98 THEN 'train'
+        |         WHEN h2 = 98 THEN 'val' ELSE 'test' END AS split
+        |  FROM hashed
+        |  WHERE h1 < CASE CAST(substring(source, 4) AS INT) % 4
         |      WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END)
         |SELECT source, split, count(*)::BIGINT AS n,
         |  sum(CASE WHEN length(trim(text)) = 0 THEN 0

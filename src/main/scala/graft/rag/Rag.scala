@@ -135,7 +135,11 @@ object Rag {
     */
   def formatResults(results: Seq[(String, Double)]): String =
     results.zipWithIndex.map { case ((content, score), i) =>
-      f"[Result ${i + 1}%d, Score: $score%.3f]%n$content".replace(
-        System.lineSeparator(), "\n")
+      // Locale.ROOT: the f-interpolator formats %.3f with the JVM
+      // default locale — a comma-decimal locale would break both the
+      // reference format and the driver oracle's printf('.') output.
+      // Literal \n (not %n): content must pass through untouched.
+      String.format(java.util.Locale.ROOT, "[Result %d, Score: %.3f]\n%s",
+        Int.box(i + 1), Double.box(score), content)
     }.mkString("\n\n---\n\n")
 }

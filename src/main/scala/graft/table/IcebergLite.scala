@@ -64,16 +64,28 @@ final class IcebergLite(val root: String) extends Serializable {
     * versioned dir: readers recursively pick up staged/newer `v-<k>`
     * files, and expiry would delete ALL live versions of the unit.
     * Idempotent; no-op for non-legacy units. Runs before staging
-    * ([[writeData]]) and before expiry deletes.
+    * ([[writeData]]) and before expiry deletes; read paths pass
+    * `mixedOnly = true` so a PURE legacy unit (loose files, no v-<k>
+    * dirs) stays readable without write access — only the mixed state,
+    * which cannot be read correctly in place, forces the move. Every
+    * rename is verified: a partial migration must fail loudly, not
+    * leave v-0 holding a silent subset of the unit's rows.
     */
-  private def migrateLegacy(f: FileSystem, unit: Int): Unit = {
+  private def migrateLegacy(f: FileSystem, unit: Int,
+      mixedOnly: Boolean = false): Unit = {
     val parent = new Path(dataPath(unit))
     if (!f.exists(parent)) return
-    val loose = f.listStatus(parent).filter(_.isFile)
-    if (loose.nonEmpty) {
-      val v0 = new Path(s"$root/data/unit=$unit/v-0")
-      f.mkdirs(v0)
-      loose.foreach(s => f.rename(s.getPath, new Path(v0, s.getPath.getName)))
+    val entries = f.listStatus(parent)
+    val loose = entries.filter(_.isFile)
+    if (loose.isEmpty) return
+    if (mixedOnly && !entries.exists(_.isDirectory)) return
+    val v0 = new Path(s"$root/data/unit=$unit/v-0")
+    f.mkdirs(v0)
+    loose.foreach { s =>
+      if (!f.rename(s.getPath, new Path(v0, s.getPath.getName)))
+        sys.error(s"legacy migration of unit $unit failed moving " +
+          s"${s.getPath} into $v0 — aborting so v-0 never holds a " +
+          "partial copy of the unit")
     }
   }
 
@@ -254,7 +266,7 @@ final class IcebergLite(val root: String) extends Serializable {
     // a pre-upgrade table can hold loose legacy files BESIDE v-k dirs
     // (the old writeData staged v-1 without migrating); migrate before
     // resolving or the version-0 read recursively includes v-k files
-    state.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u) }
+    state.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u, mixedOnly = true) }
     spark.read
       .option("basePath", s"$root/data")
       .parquet(state.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)
@@ -291,7 +303,7 @@ final class IcebergLite(val root: String) extends Serializable {
     val latest = latestVersions(f).toSeq.sorted
     require(latest.nonEmpty, s"no committed units under $root")
     // see readAt: loose legacy files must not coexist with v-k dirs
-    latest.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u) }
+    latest.foreach { case (u, v) => if (v == 0) migrateLegacy(f, u, mixedOnly = true) }
     spark.read
       .option("basePath", s"$root/data")
       .parquet(latest.map { case (u, v) => resolvedDataPath(f, u, v) }: _*)
