@@ -742,6 +742,15 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("word")).limit(50)),
 
+    "text_ppl" -> ((s, dir) =>
+      // CCNet-style LM-perplexity quality filter over the committed
+      // char-bigram model (integer millibit surprises — no query-time
+      // log on either side); oracle re-derives every doc score from
+      // the SAME artifact with an unnest + join
+      graft.ops.TextAnalysis.lmPerplexity(t(s, dir, "documents"),
+          s"$goldenDir/bigram_lm_sf001.parquet")
+        .orderBy(col("doc_id"))),
+
     "text_gopher" -> ((s, dir) =>
       // Gopher-style repetition/format quality metrics (Rae et al. 2021
       // A1.1, public rules): one kernel pass; oracle re-derives every
@@ -1420,6 +1429,23 @@ object SparkEntry {
         |  FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin),
+
+    "text_ppl" ->
+      (s"""WITH lm AS (SELECT bigram, surprise_mb
+        |           FROM read_parquet('$goldenDir/bigram_lm_sf001.parquet')),
+        |pos AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, substr(lt, i, 2) AS bg FROM pos),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    coalesce(l.surprise_mb,
+        |      (SELECT surprise_mb FROM lm WHERE bigram = '<OOV>')) AS mb
+        |  FROM bg b LEFT JOIN lm l ON l.bigram = b.bg)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum(mb) // count(*))::BIGINT AS ppl_mb
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "text_gopher" ->
       (s"""WITH base AS (

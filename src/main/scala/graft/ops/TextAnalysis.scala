@@ -124,6 +124,50 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** CCNet-style LM-perplexity quality filter (Wenzek et al. 2020
+    * filter corpora by LM perplexity — public idea, scaled to the
+    * char-bigram model this sandbox trains deterministically). The
+    * committed artifact IS the model: per bigram an INTEGER millibit
+    * surprise (floor(log2((N+V)/(c+1)) * 1000), add-one smoothing),
+    * plus an `<OOV>` row. Nobody computes a log at query time — the
+    * kernel and the SQL oracle both just sum integers, so libm ulp
+    * differences cannot move a floor boundary. Score = floored mean
+    * surprise per code-point bigram (DuckDB substr is code-point
+    * addressed); high ppl_mb = far from the corpus distribution, the
+    * filter signal. Model rows are bounded (|alphabet|²), so the
+    * collect is a broadcast-sized lookup, never corpus-sized.
+    */
+  def lmPerplexity(docs: DataFrame, artifactPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = spark.read.parquet(artifactPath)
+      .select(col("bigram"), col("surprise_mb").cast("long"))
+      .as[(String, Long)].collect()
+    val oov = rows.find(_._1 == "<OOV>").map(_._2)
+      .getOrElse(sys.error(s"LM artifact $artifactPath has no <OOV> row"))
+    val table = rows.iterator.filter(_._1 != "<OOV>").toMap
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t =
+            if (text == null) ""
+            else text.toLowerCase(java.util.Locale.ROOT)
+          val cps = t.codePoints().toArray
+          var sum = 0L
+          var n = 0L
+          var i = 0
+          while (i + 1 < cps.length) {
+            sum += table.getOrElse(new String(cps, i, 2), oov)
+            n += 1
+            i += 1
+          }
+          (id, n, if (n == 0) 0L else sum / n)
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "ppl_mb")
+  }
+
   // ---------------- Gopher-style repetition / format quality ----------------
 
   /** Code-point length — DuckDB's `length()` counts code points, while

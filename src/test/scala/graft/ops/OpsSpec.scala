@@ -110,6 +110,19 @@ class OpsSpec extends AnyFunSuite {
     assert("😀" < "", "JVM order differs — the kernel must not use it")
   }
 
+  test("lmPerplexity: hand-built model, OOV fallback, floored integer mean") {
+    val dir = java.nio.file.Files.createTempDirectory("lm-artifact").toString
+    Seq(("ab", 1000L), ("bc", 2001L), ("<OOV>", 9000L))
+      .toDF("bigram", "surprise_mb").write.mode("overwrite").parquet(dir)
+    val docs = Seq((1L, "abc"), (2L, "xy"), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: ab + bc -> floor(3001 / 2) = 1500; doc 2: one OOV bigram;
+    // doc 3: no bigrams -> 0
+    assert(out.toSeq == Seq((1L, 2L, 1500L), (2L, 1L, 9000L), (3L, 0L, 0L)))
+  }
+
   test("semanticDedup: per-cell earlier-near-dup rule, cross-cell isolation") {
     val centroids = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
     val vecs = Seq(
