@@ -1445,7 +1445,11 @@ object SparkEntry {
         |  FROM bg b LEFT JOIN lm l ON l.bigram = b.bg)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  (sum(mb) // count(*))::BIGINT AS ppl_mb
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |FROM scored GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 0::BIGINT FROM documents
+        |WHERE text IS NULL OR length(text) < 2
+        |ORDER BY doc_id""".stripMargin),
 
     "text_gopher" ->
       (s"""WITH base AS (

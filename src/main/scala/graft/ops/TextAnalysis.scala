@@ -136,6 +136,12 @@ object TextAnalysis {
     * addressed); high ppl_mb = far from the corpus distribution, the
     * filter signal. Model rows are bounded (|alphabet|²), so the
     * collect is a broadcast-sized lookup, never corpus-sized.
+    *
+    * Lowercasing is PER-CODE-POINT simple mapping
+    * (Character.toLowerCase(int)), matching DuckDB's utf8proc lower()
+    * — JVM String.toLowerCase applies full case mapping, whose
+    * length-changing cases (U+0130 → i + combining dot) would shift
+    * both bigram identity and n_bigrams vs the oracle.
     */
   def lmPerplexity(docs: DataFrame, artifactPath: String): DataFrame = {
     val spark = docs.sparkSession
@@ -150,10 +156,9 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val t =
-            if (text == null) ""
-            else text.toLowerCase(java.util.Locale.ROOT)
-          val cps = t.codePoints().toArray
+          val cps =
+            if (text == null) Array.emptyIntArray
+            else text.codePoints().map(Character.toLowerCase(_)).toArray
           var sum = 0L
           var n = 0L
           var i = 0

@@ -121,6 +121,14 @@ class OpsSpec extends AnyFunSuite {
     // doc 1: ab + bc -> floor(3001 / 2) = 1500; doc 2: one OOV bigram;
     // doc 3: no bigrams -> 0
     assert(out.toSeq == Seq((1L, 2L, 1500L), (2L, 1L, 9000L), (3L, 0L, 0L)))
+    // SIMPLE per-code-point lowercase (DuckDB semantics): U+0130 maps
+    // to 'i' (one cp), NOT i + combining dot — "İb" is exactly the one
+    // bigram "ib" (OOV here), n_bigrams 1
+    val turk = TextAnalysis.lmPerplexity(
+        Seq((9L, "İb")).toDF("doc_id", "text"), dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(turk.toSeq == Seq((1L, 9000L)),
+      "full case mapping leaked in — U+0130 must lower to a single cp")
   }
 
   test("semanticDedup: per-cell earlier-near-dup rule, cross-cell isolation") {
