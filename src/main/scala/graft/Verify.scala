@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // lets self-sizing oracles (neardup_lsh planes, dedup_semantic
+    // centroids) derive their inlined literals from the live tier
+    sys.props("graft.sf.dir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

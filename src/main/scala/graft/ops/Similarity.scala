@@ -324,6 +324,39 @@ object Similarity {
       .select("vec_id", "score_bp")
   }
 
+  /** Corpus-size-adaptive cluster count for [[semanticDedup]] — the
+    * same occupancy-pinning discipline as [[lshSizing]]. Per-cell
+    * pairwise work is quadratic in cell occupancy n/k, so a FIXED k is
+    * the scale trap (measured: pinned k=16 cost 3.0× at 10× data,
+    * BENCH_SCALE.md). `k = clamp(ceil(n/32), 4, 4096)` holds mean
+    * occupancy at ~32 vectors/cell, making total pairwise work
+    * ~(32²/2)·k = O(n). The 4096 cap bounds the driver-side Lloyd
+    * trainer; past it (n > ~131k) the production path is a two-level
+    * quantizer (coarse cell → sub-cell, each leg occupancy-pinned),
+    * same as a faiss IVF_HNSW coarse stage. Deterministic in n only, so
+    * an oracle generator that knows the tier's row count derives the
+    * exact matching centroid set by running the same trainer.
+    */
+  def semanticSizing(n: Long): Int =
+    math.min(4096, math.max(4, math.ceil(n / 32.0).toInt))
+
+  /** [[semanticDedup]] with k derived from the corpus size via
+    * [[semanticSizing]] and centroids trained on the spot from the
+    * deterministic bounded sample — the production entry point.
+    * `kmeansTrainSample` is deterministic (vec_id-ordered sample,
+    * fixed summation order), so an offline run of the same rule at the
+    * same tier reproduces these centroids bit-for-bit — which is how
+    * the DuckDB oracle inlines the exact matching centroid literals.
+    */
+  def semanticDedupAuto(embeddings: DataFrame, threshold: Double = 0.8,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(embeddings.count())
+    val k = semanticSizing(n)
+    val cs = kmeansTrainSample(embeddings, k = k, iters = 5,
+      sampleSize = math.max(4096, 8 * k))
+    semanticDedup(embeddings, cs, threshold)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
     * cluster the embedding space (committed centroid artifact, same
     * discipline as the IVF index) and prune near-duplicates WITHIN each

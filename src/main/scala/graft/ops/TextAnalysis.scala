@@ -219,7 +219,11 @@ object TextAnalysis {
   def gopherMetrics(text: String): (Long, Long, Long, Long, Long, Long) = {
     val t = graft.text.PyText.strip(if (text == null) "" else text)
     if (t.isEmpty) return (0L, 0L, 0L, 0L, 0L, 0L)
-    val lower = t.toLowerCase(java.util.Locale.ROOT)
+    // simple per-code-point mapping, NOT String.toLowerCase: DuckDB's
+    // lower() is utf8proc simple casing, and full case mapping's
+    // length-changing cases (U+0130) would shift word lengths and
+    // n-gram identities vs the oracle
+    val lower = graft.text.PyText.simpleLower(t)
     // tokenize lowered text on Python-\s (same family as the dedup kernels)
     val words = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

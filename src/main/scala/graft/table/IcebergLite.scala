@@ -203,7 +203,11 @@ final class IcebergLite(val root: String) extends Serializable {
     val out = f.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    f.rename(tmp, manifestPath(unit, next)) // atomic commit of v(next)
+    // atomic commit of v(next); on rename failure (S3A/HDFS edge) fail
+    // BEFORE retiring superseded versions, or a committed unit would
+    // silently lose its only manifest entry
+    if (!f.rename(tmp, manifestPath(unit, next)))
+      sys.error(s"manifest commit failed: rename $tmp -> ${manifestPath(unit, next)}")
     // retire superseded manifest versions (incl. a legacy unversioned
     // file) only after the new one is visible — their DATA stays until
     // a snapshot referencing it expires
@@ -238,7 +242,8 @@ final class IcebergLite(val root: String) extends Serializable {
     val out = f.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    f.rename(tmp, snapshotPath(n))
+    if (!f.rename(tmp, snapshotPath(n)))
+      sys.error(s"snapshot commit failed: rename $tmp -> ${snapshotPath(n)}")
   }
 
   /** Committed snapshot ids, oldest first. */

@@ -67,6 +67,36 @@ object PyText {
     out.toString
   }
 
+  /** Per-CODE-POINT simple lowercase (Character.toLowerCase over code
+    * points) — the semantics of DuckDB's utf8proc `lower()`, which maps
+    * one code point to one code point. JVM `String.toLowerCase` applies
+    * FULL case mapping, whose length-changing cases (U+0130 'İ' → 'i'
+    * U+0069 + combining dot U+0307) would shift code-point lengths,
+    * word boundaries and n-gram identities against a SQL oracle.
+    * Returns the input unchanged (no allocation) for strings the
+    * mapping leaves untouched — the common ASCII-lowercase case.
+    */
+  def simpleLower(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.toLowerCase(cp) != cp) {
+        val out = new java.lang.StringBuilder(n)
+        out.append(s, 0, i)
+        var j = i
+        while (j < n) {
+          val c = s.codePointAt(j)
+          out.appendCodePoint(Character.toLowerCase(c))
+          j += Character.charCount(c)
+        }
+        return out.toString
+      }
+      i += Character.charCount(cp)
+    }
+    s
+  }
+
   /** Python `re.split(r'(?<=[.!?])\s+', text.strip())` — the reference
     * chunker's sentence splitter (core/processors/chunking.py:85).
     * Returns the stripped text split after sentence-final punctuation.
