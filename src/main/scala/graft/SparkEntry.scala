@@ -364,6 +364,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_cc" -> ((s, dir) => {
+      // exact-cluster dedup: minhash pair mining → alternating
+      // large-star/small-star connected components (Kiveris et al.
+      // 2014) — every pair member canonicalizes to its cluster-MINIMUM
+      // id, fixing the greedy applier's transitive-chain misses. The
+      // oracle recomputes components with a recursive CTE over the
+      // same exact-jaccard pair set
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      graft.ops.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_winnow" -> ((s, dir) => {
       // winnowing fingerprints (Schleimer et al. rolling-hash local
       // fingerprints); golden-parquet oracle like the chunker
@@ -1245,6 +1261,22 @@ object SparkEntry {
         |WHERE doc_id < 2000
         |  AND doc_id NOT IN (SELECT DISTINCT id_b FROM exact_pairs)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_cc" ->
+      // independent derivation of the components: min-label closure by
+      // recursive CTE (transitive reachability) over the exact-jaccard
+      // pair set — no star-contraction logic shared with the kernel
+      s"""WITH RECURSIVE $exactJaccardCte,
+        |edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+        |          UNION ALL SELECT id_b, id_a FROM exact_pairs),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.v = r.id)
+        |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
+        |  (id = min(lab)) AS kept
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "set_ops" ->
       """WITH segs AS (SELECT DISTINCT c_mktsegment AS v FROM customer),

@@ -298,6 +298,91 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  // ---------------- connected-components dedup clusters ----------------
+
+  /** Connected components over a near-dup pair table via alternating
+    * large-star / small-star (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond" — the published O(log²n)-round
+    * distributed union-find; in practice a handful of rounds). This is
+    * the exact-cluster upgrade over [[applyPairDedup]]'s greedy
+    * one-pass rule: in a transitive chain a–b–c the greedy applier can
+    * drop c whose canonical b was itself dropped, while components
+    * canonicalize every member to the cluster-minimum id.
+    *
+    * Each round is two (shuffle on node id → hash-agg min → re-join)
+    * passes over the EDGE table only — never the documents — so the
+    * cost is bounded by the pair count, and rounds by the log of the
+    * largest component's diameter (near-dup clusters are clique-ish:
+    * diameter 1–2, measured 3 rounds to fixpoint on the 10-clique
+    * adversarial tier). Lineage is truncated per round with an eager
+    * localCheckpoint — the standard guard against iterative-plan blowup.
+    *
+    * Returns (id, component) for every node of `pairs`, component = the
+    * cluster's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the round count it took to converge —
+    * the bound the scale evidence reports.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
+    // canonical directed edges (larger id → smaller id), deduped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).cast("long").as("u"),
+        least(col("id_a"), col("id_b")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // LARGE-STAR: over the symmetrized graph, every neighbor v > u
+      // re-links to m = min(Γ(u) ∪ {u}). Flattens tall chains.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mL, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: edges are (larger → smaller); every smaller
+      // neighbor and u itself re-link to m = min(Γ(u)). Flattens stars.
+      val mS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mS, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint when the edge SET is unchanged (exact two-sided
+      // except-check: one action over the small edge tables)
+      done = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      rounds += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    // at fixpoint the graph is a star forest: u → component root v;
+    // roots themselves are their own component
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+    val assign = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(roots.select(col("v").as("id"), col("v").as("component")))
+    (assign, rounds)
+  }
+
+  /** Cluster-exact dedup applier: keep one document (the minimum id)
+    * per connected component — the upgrade over [[applyPairDedup]]'s
+    * greedy rule. Docs in no pair are kept untouched (left join).
+    */
+  def ccDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .where(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+  }
+
   // ---------------- cross-document substring dedup ----------------
 
   /** Cross-document SUBSTRING-level duplicate pairs — the training-data

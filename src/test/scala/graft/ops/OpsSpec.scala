@@ -147,6 +147,32 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("connectedComponents: transitive chains, multiple clusters, bounded rounds") {
+    // chain 1-2-3-4 (greedy applyPairDedup would mis-drop here), clique
+    // {10,11,12}, isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = cc.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(rounds <= 4, s"chain of diameter 3 should contract in O(log) rounds, took $rounds")
+  }
+
+  test("ccDedup keeps cluster minima where greedy applyPairDedup over-drops") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a->b->c chain as ordered pairs: greedy drops BOTH 2 and 3 (each
+    // appears as an id_b) even though 3's canonical 2 was itself dropped;
+    // cc keeps exactly one doc (the min) per component
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.ccDedup(docs, pairs).orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // 4 untouched by any pair
+  }
+
   test("redactPii: counts and sequential replacement") {
     val df = Seq((1L, "mail a.b@x.org and 10.0.0.1 ref 123-45-6789 done"))
       .toDF("doc_id", "text")
