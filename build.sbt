@@ -30,8 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // microVM where JVM heap grow/uncommit cycles cause page-fault storms
   // (~80% system time, 10-30x CPU inflation at 32 threads). Fixed-size
   // pre-touched heap makes throughput stable and ~15x faster.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Young gen sized for 32 allocation-heavy mutator threads: with the
+  // default NewRatio the extraction kernel's allocation rate forces a
+  // minor-GC cadence that serializes 32 threads often enough to cost
+  // ~25-30% at full width (A/B: 103k -> 130-134k docs/s at local[32],
+  // flat at local[8]); a half-heap young gen restores the headroom the
+  // 8-thread level gets for free.
+  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_XMN", "16g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
 )

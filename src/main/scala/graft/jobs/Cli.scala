@@ -40,11 +40,42 @@ object Cli {
     else if (src.startsWith("warc:"))
       // Common-Crawl-style ingestion: a directory of .warc.gz files;
       // unparseable members become failure rows and are dropped here
-      // (the cascade records its own per-row failures downstream)
-      graft.sources.Warc.read(spark, src.stripPrefix("warc:"))
+      // (the cascade records its own per-row failures downstream).
+      // readAuto plans one task per MEMBER GROUP via cdx-style sidecar
+      // indexes (built on first touch), so few fat archives still use
+      // the full cluster width
+      graft.sources.Warc.readAuto(spark, src.stripPrefix("warc:"))
         .where(org.apache.spark.sql.functions.col("succeeded"))
         .select("url", "warc_ts", "html")
+    else if (src.startsWith("url:")) {
+      // single-target mode, mirroring the reference's `extract <url>`:
+      // the address gets the default-https scheme treatment
+      // (app.py:435-450 _normalize_target_url); this engine performs no
+      // network fetch, so the row enters the cascade with html = null
+      // and surfaces as the reference's fetch-failure reason row
+      // (errors as data), url already normalized
+      import spark.implicits._
+      Seq(normalizeTargetUrl(src.stripPrefix("url:"))).toDF("url")
+        .withColumn("html", lit(null).cast("binary"))
+    }
     else spark.read.parquet(src)
+
+  /** The reference's target-URL normalization (app.py:435-450): an
+    * address with scheme+host passes through; otherwise it is retried
+    * with a default `https://` scheme; empty input is a usage error
+    * (typer.BadParameter → IllegalArgumentException here, so the CLI
+    * surface stays testable in-process).
+    */
+  def normalizeTargetUrl(raw: String): String = {
+    val cleaned = raw.trim
+    require(cleaned.nonEmpty, "URL cannot be empty")
+    if (cleaned.matches("[A-Za-z][A-Za-z0-9+.-]*://[^/].*")) cleaned
+    else {
+      val candidate = "https://" + cleaned.dropWhile(_ == '/')
+      require(candidate.matches("https://[^/:?#].*"), "URL must include a valid hostname")
+      candidate
+    }
+  }
 
   private def opt(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
@@ -63,9 +94,19 @@ object Cli {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     args(0) match {
       case "info" =>
-        println("graft scragspark engine — strategies: newspaper, readability, http; " +
-          "processors: normalize_whitespace, chunking; storage: json, txt, ndjson, md; " +
-          "index: IcebergLite parquet + manifest; embedder: deterministic-hash dim 384")
+        // the reference echoes the RESOLVED layered config as pretty
+        // JSON (app.py:45-58; its test asserts exit 0 and that
+        // "environment" appears) — same here, with the engine's
+        // registries appended as one extra key
+        val env = opt(args, "--environment").getOrElse("default")
+        val resolved = graft.util.ScragConfig.resolve(environment = env)
+        println(resolved.copy(data = resolved.data ++ Map(
+          "engine" -> Map(
+            "strategies" -> Seq("newspaper", "readability", "http"),
+            "processors" -> Seq("normalize_whitespace", "chunking"),
+            "storage" -> Seq("json", "txt", "ndjson", "md"),
+            "index" -> "IcebergLite parquet + manifest",
+            "embedder" -> "deterministic-hash dim 384"))).toPrettyJson)
 
       case "extract" =>
         val spark = session(cpus)
@@ -125,6 +166,24 @@ object Cli {
         val okRows = out.read(spark).where(col("succeeded")).count()
         println(s"extract: units_run=${ran.size} rows=$rows succeeded=$okRows " +
           s"failed=${rows - okRows}")
+        // the reference's success epilogue (app.py:112-128): completion
+        // line, extractor/processors, content size, environment, the
+        // below-threshold note, and echoed warnings — batch analogues
+        // (aggregate character count, distinct warnings bounded at 3)
+        val result = out.read(spark)
+        if (args.contains("--async")) println("  mode: async (experimental)")
+        println("Pipeline completed successfully.")
+        println(s"  extractor: ${cfg.cascade.strategies.mkString(", ")}")
+        println("  processors: normalize_whitespace")
+        val chars = result.agg(sum(length(col("extracted_text")))).collect()(0)
+        println(s"  content-characters: ${if (chars.isNullAt(0)) 0L else chars.getLong(0)}")
+        println(s"  saved-to: ${args(2)}")
+        println(s"  environment: ${resolved.environment}")
+        if (result.where(col("partial")).limit(1).count() > 0)
+          println("  note: content below configured minimum threshold")
+        result.select(explode(col("warnings")).as("w")).distinct()
+          .orderBy("w").limit(3).collect().map(_.getString(0))
+          .foreach(w => println(s"  warning: $w"))
         spark.stop()
 
       case "embed" =>

@@ -46,9 +46,12 @@ object ExtractJob {
     */
   def processUnit(pages: DataFrame, cfg: ExtractJobConfig,
       hist: Option[graft.util.MapAccumulator] = None): DataFrame = {
+    // null html must remain a ROW (the cascade's fetch-failure reason
+    // row — errors as data): a bare length() is NULL for it, and a NULL
+    // predicate fails BOTH size buckets, silently dropping the page
     val withLen = pages
       .select(col("url"), col("html"))
-      .withColumn("html_len", length(col("html")))
+      .withColumn("html_len", coalesce(length(col("html")), lit(0)))
 
     val small = withLen.where(col("html_len") < cfg.bigHtmlBytes)
     val big = withLen.where(col("html_len") >= cfg.bigHtmlBytes)

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** From-scratch WARC (ISO 28500, the Common-Crawl container format)
   * encode/decode. Real Common-Crawl files are a CONCATENATION of
@@ -100,26 +100,30 @@ object Warc {
   private def error(reason: String): WarcRecord =
     WarcRecord(null, "error", Map("x-parse-error" -> reason), Array.emptyByteArray)
 
-  /** Split a multi-member gzip stream; returns (members, trailingError). */
-  private def gunzipMembers(bytes: Array[Byte]): (Seq[Array[Byte]], Option[String]) = {
-    val members = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+  /** Walk a multi-member gzip stream, emitting each decoded member with
+    * its compressed (offset, length); returns the first framing error,
+    * if any. Shared by the direct decode path and the cdx-style member
+    * indexer.
+    */
+  private def walkMembers(bytes: Array[Byte])(
+      emit: (Array[Byte], Int, Int) => Unit): Option[String] = {
     var pos = 0
     while (pos < bytes.length) {
       if (pos + 10 > bytes.length ||
           (bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
-        return (members.toSeq, Some(s"bad gzip magic at offset $pos"))
-      if (bytes(pos + 2) != 8) return (members.toSeq, Some("unsupported CM"))
+        return Some(s"bad gzip magic at offset $pos")
+      if (bytes(pos + 2) != 8) return Some("unsupported CM")
       val flg = bytes(pos + 3) & 0xff
       var p = pos + 10
       if ((flg & 4) != 0) { // FEXTRA
-        if (p + 2 > bytes.length) return (members.toSeq, Some("truncated FEXTRA"))
+        if (p + 2 > bytes.length) return Some("truncated FEXTRA")
         val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
         p += 2 + xlen
       }
       if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
       if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
       if ((flg & 2) != 0) p += 2 // FHCRC
-      if (p > bytes.length) return (members.toSeq, Some("truncated gzip header"))
+      if (p > bytes.length) return Some("truncated gzip header")
       val inflater = new Inflater(true)
       inflater.setInput(bytes, p, bytes.length - p)
       val out = new ByteArrayOutputStream(8192)
@@ -128,31 +132,48 @@ object Warc {
         while (!inflater.finished()) {
           val n = inflater.inflate(buf)
           if (n == 0 && inflater.needsInput())
-            return (members.toSeq, Some("truncated deflate stream"))
+            return Some("truncated deflate stream")
           out.write(buf, 0, n)
         }
       } catch {
         case e: java.util.zip.DataFormatException =>
-          return (members.toSeq, Some(s"deflate error: ${e.getMessage}"))
+          return Some(s"deflate error: ${e.getMessage}")
       }
       val consumed = (bytes.length - p) - inflater.getRemaining
       inflater.end()
       val member = out.toByteArray
       // verify the RFC 1952 trailer (CRC32 + ISIZE)
       val tp = p + consumed
-      if (tp + 8 > bytes.length) return (members.toSeq, Some("truncated gzip trailer"))
+      if (tp + 8 > bytes.length) return Some("truncated gzip trailer")
       def le32(o: Int): Long =
         (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       val crc = new CRC32
       crc.update(member)
-      if (le32(tp) != crc.getValue) return (members.toSeq, Some("gzip CRC mismatch"))
+      if (le32(tp) != crc.getValue) return Some("gzip CRC mismatch")
       if (le32(tp + 4) != (member.length.toLong & 0xffffffffL))
-        return (members.toSeq, Some("gzip ISIZE mismatch"))
-      members += member
+        return Some("gzip ISIZE mismatch")
+      emit(member, pos, (tp + 8) - pos)
       pos = tp + 8
     }
-    (members.toSeq, None)
+    None
+  }
+
+  /** Split a multi-member gzip stream; returns (members, trailingError). */
+  private def gunzipMembers(bytes: Array[Byte]): (Seq[Array[Byte]], Option[String]) = {
+    val members = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val err = walkMembers(bytes)((m, _, _) => members += m)
+    (members.toSeq, err)
+  }
+
+  /** (offset, compressedLength) of every gzip member — the cdx-style
+    * record index of a `.warc.gz`. Built by one full decode pass,
+    * exactly like Common Crawl's published cdx indexes are.
+    */
+  def memberOffsets(bytes: Array[Byte]): (Seq[(Long, Long)], Option[String]) = {
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val err = walkMembers(bytes)((_, off, len) => offs += ((off.toLong, len.toLong)))
+    (offs.toSeq, err)
   }
 
   /** Offset of the first CRLF CRLF at/after `from`, or -1 — the header
@@ -238,25 +259,127 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
-        parseFile(bytes).iterator.collect {
-          case r if r.warcType == "error" =>
-            (null: String, null: String, null: Array[Byte], path,
-              false, r.headers.getOrElse("x-parse-error", "parse error"))
-          case r if r.warcType == null =>
-            // WARC-Type is mandatory (ISO 28500 §5.5) — a record without
-            // it is malformed, and errors are ROWS, never silent drops
-            (r.targetUri, null: String, null: Array[Byte], path,
-              false, "missing warc-type")
-          case r if pageTypes(r.warcType) =>
-            // only genuine response records carry an HTTP message to
-            // strip; conversion/resource payloads ARE the document, even
-            // when the document text happens to start with "HTTP/"
-            val body =
-              if (r.warcType == "response") httpBody(r.payload) else r.payload
-            (r.targetUri, r.headers.getOrElse("warc-date", null),
-              body, path, true, null: String)
-        }
+        recordRows(path, parseFile(bytes).iterator)
       })
       .toDF("url", "warc_ts", "html", "warc_file", "succeeded", "failure_reason")
+  }
+
+  /** Record → row mapping shared by the whole-file and member-split
+    * readers (same output schema, same errors-as-rows contract).
+    */
+  private def recordRows(path: String, records: Iterator[WarcRecord])
+      : Iterator[(String, String, Array[Byte], String, Boolean, String)] =
+    records.collect {
+      case r if r.warcType == "error" =>
+        (null: String, null: String, null: Array[Byte], path,
+          false, r.headers.getOrElse("x-parse-error", "parse error"))
+      case r if r.warcType == null =>
+        // WARC-Type is mandatory (ISO 28500 §5.5) — a record without
+        // it is malformed, and errors are ROWS, never silent drops
+        (r.targetUri, null: String, null: Array[Byte], path,
+          false, "missing warc-type")
+      case r if pageTypes(r.warcType) =>
+        // only genuine response records carry an HTTP message to
+        // strip; conversion/resource payloads ARE the document, even
+        // when the document text happens to start with "HTTP/"
+        val body =
+          if (r.warcType == "response") httpBody(r.payload) else r.payload
+        (r.targetUri, r.headers.getOrElse("warc-date", null),
+          body, path, true, null: String)
+    }
+
+  // ---------------- member-split read (cdx-style index) ----------------
+  //
+  // `read` is one task per archive — the right unit when archives are
+  // ~1 GB Common-Crawl segments and there are millions of them, but a
+  // parallelism ceiling when files are few and fat. Common Crawl solves
+  // this with PUBLISHED cdx indexes (member offsets per record) enabling
+  // random access into the .warc.gz; the same design here:
+  //
+  //   writeMemberIndexes — one decode pass per archive emits a sidecar
+  //     `<file>.warc.gz.idx` ("offset length" per gzip member). Built
+  //     once per archive, like cdx generation at crawl time.
+  //   readIndexed — plans one task per MEMBER GROUP: sidecars are read
+  //     as a distributed text source, members are grouped into
+  //     contiguous ~bytesPerSplit ranges RELATIONALLY (no driver-side
+  //     index materialization — at 10^12 docs the index itself is big),
+  //     and each task seeks into its range with the Hadoop FS API
+  //     (works identically on file://, HDFS, S3A).
+
+  val IndexSuffix = ".idx"
+
+  /** Build missing sidecar member indexes (one "offset length" line per
+    * gzip member). Returns the number of archives indexed.
+    */
+  def writeMemberIndexes(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val p = new org.apache.hadoop.fs.Path(path + IndexSuffix)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) 0L
+        else {
+          val (offs, err) = memberOffsets(bytes)
+          // a framing error invalidates offsets past it; the direct
+          // reader surfaces it as an error row — don't index the file
+          if (err.isDefined) 0L
+          else {
+            val out = fs.create(p, true)
+            out.write(offs.map { case (o, l) => s"$o $l" }
+              .mkString("", "\n", "\n").getBytes(UTF_8))
+            out.close()
+            1L
+          }
+        }
+      })
+      .reduce(_ + _)
+  }
+
+  /** Member-split WARC read: same rows as [[read]], one task per member
+    * GROUP (contiguous ~`bytesPerSplit` compressed ranges), planned from
+    * the sidecar indexes without collecting them to the driver.
+    */
+  def readIndexed(spark: SparkSession, dir: String,
+      bytesPerSplit: Long = 32L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val entries = spark.read.textFile(s"$dir/*.warc.gz$IndexSuffix")
+      .select(input_file_name().as("idx"), col("value"))
+      .select(regexp_replace(col("idx"), "\\.idx$", "").as("warc"),
+        split(col("value"), " ").getItem(0).cast("long").as("off"),
+        split(col("value"), " ").getItem(1).cast("long").as("len"))
+    // contiguous, disjoint, covering ranges: a member belongs to the
+    // window its START offset falls in
+    val splits = entries
+      .groupBy(col("warc"), floor(col("off") / bytesPerSplit).as("grp"))
+      .agg(min("off").as("start"), max(col("off") + col("len")).as("end"))
+      .select(col("warc"), col("start"), col("end"))
+    splits.as[(String, Long, Long)]
+      .repartition(col("warc"), col("start")) // spread groups over tasks
+      .mapPartitions(_.flatMap { case (warc, start, end) =>
+        val p = new org.apache.hadoop.fs.Path(warc)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val buf = new Array[Byte]((end - start).toInt)
+        try { in.seek(start); in.readFully(buf) } finally in.close()
+        recordRows(warc, parseFile(buf).iterator)
+      })
+      .toDF("url", "warc_ts", "html", "warc_file", "succeeded", "failure_reason")
+  }
+
+  /** The production entry point: member-split read when sidecar indexes
+    * exist (building any missing ones first — a one-time cost per
+    * archive, like cdx generation), falling back to the whole-file
+    * reader for an unindexable corpus.
+    */
+  def readAuto(spark: SparkSession, dir: String): DataFrame = {
+    writeMemberIndexes(spark, dir)
+    val hasIdx =
+      try !spark.read.textFile(s"$dir/*.warc.gz$IndexSuffix").isEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (hasIdx) readIndexed(spark, dir) else read(spark, dir)
   }
 }

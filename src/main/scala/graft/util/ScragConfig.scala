@@ -55,6 +55,27 @@ final case class ScragConfig(environment: String, data: Map[String, Any]) {
       case s: Seq[_] => s.map(String.valueOf)
       case other => Seq(String.valueOf(other))
     }
+
+  /** Pretty JSON of the resolved config with the environment name as a
+    * top-level key — what the reference's `info` verb prints
+    * (config.py:31 to_pretty_json; tests assert `"environment"` appears
+    * in stdout).
+    */
+  def toPrettyJson: String = {
+    def render(v: Any, indent: String): String = v match {
+      case m: Map[_, _] =>
+        val inner = m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+          .map { case (k, x) => s"""$indent  "$k": ${render(x, indent + "  ")}""" }
+        if (inner.isEmpty) "{}" else inner.mkString("{\n", ",\n", s"\n$indent}")
+      case s: Seq[_] => s.map(render(_, indent)).mkString("[", ", ", "]")
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case b: Boolean => b.toString
+      case n @ (_: Int | _: Long | _: Double) => n.toString
+      case null => "null"
+      case other => "\"" + String.valueOf(other) + "\""
+    }
+    render(Map("environment" -> environment) ++ data, "")
+  }
 }
 
 object ScragConfig {

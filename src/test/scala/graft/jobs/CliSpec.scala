@@ -142,6 +142,59 @@ class CliSpec extends AnyFunSuite {
     assert(strategies == Set("http"), s"--async did not front http: $strategies")
   }
 
+  test("info runs without configuration and echoes the environment (test_cli.py:14-18)") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { Cli.main(Array("info")) }
+    val s = out.toString
+    assert(s.contains("\"environment\""), s)
+    assert(s.contains("\"minimum_content_length\": 200"), s)
+    // named environment override flows through (reference --environment)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Cli.main(Array("info", "--environment", "staging"))
+    }
+    assert(out2.toString.contains("\"environment\": \"staging\""), out2.toString)
+  }
+
+  test("extract epilogue: completion line, threshold note + warning echo (test_cli.py:46,87-118)") {
+    val work = Files.createTempDirectory("cli-epilogue")
+    val tbl = work.resolve("table").toString
+    val out = new java.io.ByteArrayOutputStream()
+    // min-length far above any synthetic page's text: every success is
+    // a best-short partial with a warning, like the reference's
+    // partial+warnings metadata case
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array("extract", "synth:40", tbl, "--min-length", "100000"))
+    }
+    val s = out.toString
+    assert(s.contains("Pipeline completed successfully."), s)
+    assert(s.contains("  extractor: "), s)
+    assert(s.contains("  environment: default"), s)
+    assert(s.contains("  note: content below configured minimum threshold"), s)
+    assert(s.toLowerCase.contains("warning:"), s)
+  }
+
+  test("extract url: target gets the default https scheme (test_cli.py:55-84)") {
+    assert(Cli.normalizeTargetUrl("example.com/article") == "https://example.com/article")
+    assert(Cli.normalizeTargetUrl("https://example.com") == "https://example.com")
+    assert(Cli.normalizeTargetUrl("  //example.com ") == "https://example.com")
+    intercept[IllegalArgumentException] { Cli.normalizeTargetUrl("   ") }
+
+    // end-to-end: single-target mode stages the NORMALIZED url; with no
+    // fetcher in the sandbox the row surfaces as the reference's
+    // fetch-failure reason row (errors as data)
+    val work = Files.createTempDirectory("cli-url")
+    val tbl = work.resolve("table").toString
+    Cli.main(Array("extract", "url:example.com/article", tbl, "--units", "1"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val rows = new graft.table.IcebergLite(tbl).read(spark)
+      .select("url", "succeeded", "failure_reason").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "https://example.com/article")
+    assert(!rows(0).getBoolean(1) && rows(0).getString(2) != null)
+  }
+
   test("index verb: embeddings parquet → committed searchable index; query retrieves") {
     val work = Files.createTempDirectory("cli-index")
     val txt = work.resolve("input.txt")
