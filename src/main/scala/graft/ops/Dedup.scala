@@ -336,6 +336,7 @@ object Dedup {
       .localCheckpoint(true)
     var rounds = 0
     var done = false
+    var lastFp = (-1L, 0L)
     while (!done && rounds < maxRounds) {
       // LARGE-STAR: over the symmetrized graph, every neighbor v > u
       // re-links to m = min(Γ(u) ∪ {u}). Flattens tall chains.
@@ -356,9 +357,20 @@ object Dedup {
         .union(mS.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint when the edge SET is unchanged (exact two-sided
-      // except-check: one action over the small edge tables)
-      done = small.except(edges).isEmpty && edges.except(small).isEmpty
+      // fixpoint when the edge SET is unchanged. The per-round probe is
+      // a cheap one-pass fingerprint (count + order-independent XOR of
+      // row hashes — the edge set is distinct, and XOR cannot overflow
+      // under ANSI arithmetic); only when it reports "stable" does the
+      // EXACT two-sided except check confirm — so the join-shaped check
+      // runs once at convergence instead of every round, and a
+      // fingerprint collision (~2^-64) costs an extra round, never a
+      // wrong answer
+      val fp = small.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      val fpNow = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+      if (fpNow == lastFp)
+        done = small.except(edges).isEmpty && edges.except(small).isEmpty
+      lastFp = fpNow
       edges = small
       rounds += 1
     }

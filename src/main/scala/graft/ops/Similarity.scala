@@ -245,11 +245,22 @@ object Similarity {
     var centroids = Array.tabulate(k)(j => sample(j * sample.length / k).clone())
     var it = 0
     while (it < iters) {
+      // the O(n·k·dim) distance pass is parallel — each sample's
+      // assignment is an independent pure function, so the result is
+      // deterministic regardless of thread scheduling (with k ∝ n this
+      // pass is ~1e9 flops at a 20k-vector tier and dominated training)
+      val cs = centroids
+      val assign = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach(i => assign(i) = nearestCentroid(sample(i), cs))
+      // accumulation stays SERIAL in sample-index order: double addition
+      // is non-associative, and a fixed summation order is what lets an
+      // oracle generator reproduce these centroids bit-for-bit
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       var i = 0
       while (i < sample.length) {
-        val c = nearestCentroid(sample(i), centroids)
+        val c = assign(i)
         var d = 0
         while (d < dim) { sums(c)(d) += sample(i)(d); d += 1 }
         counts(c) += 1
