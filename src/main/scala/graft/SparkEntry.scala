@@ -70,20 +70,20 @@ object SparkEntry {
   private lazy val tierEmbeddingCount: Long =
     tierEmbeddings.map(_.count()).getOrElse(500L)
 
-  /** The centroid set semanticDedupAuto derives at the verification
-    * tier — recomputed here by the SAME sizing + deterministic trainer,
-    * then inlined into the dedup_semantic oracle as DOUBLE[] literals.
-    * Fallback: the committed sf0.01 artifact (identical by
+  /** The two-level quantizer semanticDedupAuto derives at the
+    * verification tier — recomputed here by the SAME sizing +
+    * deterministic trainer + coarse-layering rule, then inlined into
+    * the dedup_semantic oracle as literal tables. Fallback: the
+    * committed sf0.01 artifact layered by the same rule (identical by
     * construction: semanticSizing(500) = 16 = the artifact's k).
     */
-  private lazy val tierSemanticCentroids: Array[Array[Double]] =
+  private lazy val tierSemanticQuantizer: graft.ops.Similarity.TwoLevel =
     tierEmbeddings match {
       case Some(e) =>
-        val k = graft.ops.Similarity.semanticSizing(tierEmbeddingCount)
-        graft.ops.Similarity.kmeansTrainSample(e, k = k, iters = 5,
-          sampleSize = math.max(4096, 8 * k))
+        graft.ops.Similarity.trainTwoLevel(e, tierEmbeddingCount)
       case None =>
-        graft.ops.Similarity.centroidsFromFile(s"$goldenDir/ivf_centroids.txt")
+        graft.ops.Similarity.twoLevelQuantizer(
+          graft.ops.Similarity.centroidsFromFile(s"$goldenDir/ivf_centroids.txt"))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1122,18 +1122,32 @@ object SparkEntry {
         |FROM topk WHERE label = '2' ORDER BY id""".stripMargin,
 
     "dedup_semantic" -> {
-      // same assignment fragment as ann_ivf (first-maximal tie rule);
-      // drop rule = correlated EXISTS over earlier same-cell vectors.
-      // Centroid literals are derived from the LIVE tier by the same
-      // semanticSizing + deterministic-trainer rule the registered
-      // query applies at runtime (tierSemanticCentroids)
-      val cs = tierSemanticCentroids
-      val scoreList = cs
-        .map(c => s"list_cosine_similarity(v, ${c.mkString("[", ", ", "]")})")
-        .mkString("[", ", ", "]")
+      // TWO-LEVEL assignment, the registered query's exact rule:
+      // nearest coarse (ORDER BY sim DESC, id == the kernel's first-max
+      // over the coarse set), then nearest fine WITHIN that coarse
+      // cell's member list; drop rule = correlated EXISTS over earlier
+      // same-cell vectors. All literals (coarse table, fine table with
+      // its coarse membership) are derived from the LIVE tier by the
+      // same semanticSizing + deterministic-trainer + coarse-layering
+      // rule the registered query applies at runtime
+      val q = tierSemanticQuantizer
+      val coarseRows = q.coarse.zipWithIndex
+        .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+        .mkString(", ")
+      val fineRows = q.members.zipWithIndex.flatMap { case (ms, ci) =>
+        ms.map(f => s"($f, $ci, ${q.fine(f).mkString("[", ", ", "]")}::DOUBLE[])")
+      }.mkString(", ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cells AS (SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell
-         |          FROM (SELECT vec_id, v, $scoreList AS s FROM e))
+         |coarses AS (SELECT * FROM (VALUES $coarseRows) t(id, c)),
+         |fines AS (SELECT * FROM (VALUES $fineRows) t(id, cg, c)),
+         |ca AS (SELECT vec_id, v,
+         |  (SELECT id FROM coarses
+         |   ORDER BY list_cosine_similarity(e.v, c) DESC, id LIMIT 1) AS cg
+         |  FROM e),
+         |cells AS (SELECT vec_id, v,
+         |  (SELECT f.id FROM fines f WHERE f.cg = ca.cg
+         |   ORDER BY list_cosine_similarity(ca.v, f.c) DESC, f.id LIMIT 1) AS cell
+         |  FROM ca)
          |SELECT a.vec_id, a.cell::INT AS cell,
          |  NOT EXISTS (SELECT 1 FROM cells b WHERE b.cell = a.cell
          |    AND b.vec_id < a.vec_id

@@ -239,6 +239,15 @@ object Similarity {
       .orderBy(col("vec_id")).limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    kmeansArray(sample, k, iters)
+  }
+
+  /** Deterministic Lloyd over an in-memory sample (the loop behind
+    * [[kmeansTrainSample]], also used to build the coarse layer of the
+    * two-level quantizer by clustering the FINE centroids themselves).
+    */
+  def kmeansArray(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val dim = sample(0).length
     // deterministic spread init: every (n/k)-th sample vector
@@ -342,9 +351,11 @@ object Similarity {
     * BENCH_SCALE.md). `k = clamp(ceil(n/32), 4, 4096)` holds mean
     * occupancy at ~32 vectors/cell, making total pairwise work
     * ~(32²/2)·k = O(n). The 4096 cap bounds the driver-side Lloyd
-    * trainer; past it (n > ~131k) the production path is a two-level
-    * quantizer (coarse cell → sub-cell, each leg occupancy-pinned),
-    * same as a faiss IVF_HNSW coarse stage. Deterministic in n only, so
+    * trainer; assignment itself is ALWAYS two-level
+    * ([[twoLevelQuantizer]]: coarse over the fine centroids →
+    * member-restricted fine argmax), so per-vector quantization cost is
+    * O(√k), not O(k) — flat assignment with k ∝ n would be the n²/32
+    * quadratic reborn. Deterministic in n only, so
     * an oracle generator that knows the tier's row count derives the
     * exact matching centroid set by running the same trainer.
     */
@@ -352,20 +363,90 @@ object Similarity {
     math.min(4096, math.max(4, math.ceil(n / 32.0).toInt))
 
   /** [[semanticDedup]] with k derived from the corpus size via
-    * [[semanticSizing]] and centroids trained on the spot from the
-    * deterministic bounded sample — the production entry point.
+    * [[semanticSizing]], centroids trained on the spot from the
+    * deterministic bounded sample, and TWO-LEVEL assignment
+    * ([[trainTwoLevel]]) — the production entry point.
     * `kmeansTrainSample` is deterministic (vec_id-ordered sample,
     * fixed summation order), so an offline run of the same rule at the
-    * same tier reproduces these centroids bit-for-bit — which is how
-    * the DuckDB oracle inlines the exact matching centroid literals.
+    * same tier reproduces coarse set, fine set and membership
+    * bit-for-bit — which is how the DuckDB oracle inlines the exact
+    * matching literals.
     */
   def semanticDedupAuto(embeddings: DataFrame, threshold: Double = 0.8,
       knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(embeddings.count())
+    val q = trainTwoLevel(embeddings, n)
+    semanticDedupOnIndex(ivfIndexTwoLevel(embeddings, q), threshold)
+  }
+
+  /** Two-level quantizer: `coarse` centroids over the FINE centroid set
+    * plus, per retained coarse index, the ascending list of fine-cell
+    * members. Assignment is nearest-coarse then nearest member fine —
+    * O(√k + |members|) per vector instead of O(k). With k ∝ n
+    * (occupancy pinning) a FLAT argmax-over-k assignment is n·k =
+    * O(n²/32) — the quadratic just moves from the pairwise compare into
+    * the quantizer; the coarse layer is what removes it (the faiss
+    * IVF_HNSW coarse-stage idea, here the exhaustive-√k variant so the
+    * rule stays small enough to inline into a SQL oracle).
+    *
+    * Coarse cells with zero fine members are dropped and the remainder
+    * reindexed (order-preserving), so every coarse argmax has a
+    * non-empty fine candidate list. Deterministic in the fine set only.
+    */
+  final case class TwoLevel(coarse: Array[Array[Double]],
+      fine: Array[Array[Double]], members: Array[Array[Int]])
+
+  def twoLevelQuantizer(fine: Array[Array[Double]]): TwoLevel = {
+    val kc = math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+    val coarse0 = kmeansArray(fine, kc, iters = 5)
+    val f2c = fine.map(nearestCentroid(_, coarse0))
+    val keep = (0 until kc).filter(c => f2c.contains(c)).toArray
+    TwoLevel(
+      keep.map(coarse0(_)),
+      fine,
+      keep.map(c => f2c.indices.filter(f2c(_) == c).toArray))
+  }
+
+  /** [[semanticSizing]]-driven fine training + coarse layering — the
+    * full deterministic rule an oracle generator re-runs at a tier to
+    * inline the exact matching coarse/fine literals.
+    */
+  def trainTwoLevel(embeddings: DataFrame, n: Long): TwoLevel = {
     val k = semanticSizing(n)
-    val cs = kmeansTrainSample(embeddings, k = k, iters = 5,
-      sampleSize = math.max(4096, 8 * k))
-    semanticDedup(embeddings, cs, threshold)
+    twoLevelQuantizer(kmeansTrainSample(embeddings, k = k, iters = 5,
+      sampleSize = math.max(4096, 8 * k)))
+  }
+
+  /** Two-level cell assignment: first-max cosine over the coarse set,
+    * then first-max cosine over that coarse cell's fine members
+    * (global fine index; ties → lowest index — both legs the same
+    * ORDER BY sim DESC, id LIMIT 1 rule a SQL oracle can express).
+    */
+  def nearestTwoLevel(v: Array[Double], q: TwoLevel): Int = {
+    val ms = q.members(nearestCentroid(v, q.coarse))
+    var best = ms(0)
+    var bestScore = Double.NegativeInfinity
+    var j = 0
+    while (j < ms.length) {
+      val s = cosineDouble(v, q.fine(ms(j)))
+      if (s > bestScore) { best = ms(j); bestScore = s }
+      j += 1
+    }
+    best
+  }
+
+  /** [[ivfIndex]] with two-level assignment — same output shape
+    * (vec_id, embedding, cell), cell = global fine index.
+    */
+  def ivfIndexTwoLevel(embeddings: DataFrame, q: TwoLevel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, nearestTwoLevel(v.map(_.toDouble), q))
+      })
+      .toDF("vec_id", "embedding", "cell")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
@@ -384,13 +465,20 @@ object Similarity {
     * Returns (vec_id, cell, kept).
     */
   def semanticDedup(embeddings: DataFrame, centroids: Array[Array[Double]],
-      threshold: Double = 0.8): DataFrame = {
-    val spark = embeddings.sparkSession
+      threshold: Double = 0.8): DataFrame =
+    semanticDedupOnIndex(ivfIndex(embeddings, centroids), threshold)
+
+  /** The per-cell prune kernel over a pre-built (vec_id, embedding,
+    * cell) index — shared by the flat-assignment path and the
+    * two-level production path.
+    */
+  def semanticDedupOnIndex(index: DataFrame, threshold: Double): DataFrame = {
+    val spark = index.sparkSession
     import spark.implicits._
     // floats cross the cell exchange (half the shuffle bytes); widen to
     // double only inside the per-run compare, where the arithmetic must
     // match the DOUBLE[] oracle bit-for-bit
-    ivfIndex(embeddings, centroids)
+    index
       .as[(Long, Array[Float], Int)]
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")

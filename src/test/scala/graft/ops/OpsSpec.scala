@@ -147,6 +147,56 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("twoLevelQuantizer: coarse layering is exhaustive, members partition the fine set") {
+    // 9 fine centroids on 3 well-separated directions -> kc = 3
+    val fine = (0 until 9).map { i =>
+      val base = Array.fill(4)(0.0); base(i / 3) = 1.0
+      base(3) = 0.01 * (i % 3) // small within-group spread
+      base
+    }.toArray
+    val q = Similarity.twoLevelQuantizer(fine)
+    assert(q.coarse.nonEmpty && q.coarse.length <= 3)
+    // membership partitions 0..8: disjoint, covering, ascending
+    val all = q.members.flatten.sorted
+    assert(all.toSeq == (0 until 9),
+      "fine members must partition the fine index space")
+    assert(q.members.forall(ms => ms.sameElements(ms.sorted)))
+    // assignment consistency: two-level picks a member of the chosen
+    // coarse cell, and for these separated groups equals flat argmax
+    for (i <- 0 until 9) {
+      val flat = Similarity.nearestCentroid(fine(i), fine)
+      assert(Similarity.nearestTwoLevel(fine(i), q) == flat)
+    }
+  }
+
+  test("semanticDedupAuto: two-level assignment matches the serial recomputation") {
+    // deterministic vectors; auto path trains sizing+quantizer itself
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 96L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupAuto(vecs, threshold = 0.8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // recompute serially with the same public rule
+    val q = Similarity.trainTwoLevel(vecs, 96L)
+    val rows = vecs.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cells = rows.map { case (_, v) => Similarity.nearestTwoLevel(v, q) }
+    val expected = rows.indices.map { i =>
+      val dropped = (0 until i).exists { j =>
+        cells(j) == cells(i) && {
+          val (a, b) = (rows(j)._2, rows(i)._2)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+          while (d < a.length) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb)) >= 0.8
+        }
+      }
+      (rows(i)._1, cells(i), !dropped)
+    }
+    assert(out.toSeq == expected)
+  }
+
   test("connectedComponents: transitive chains, multiple clusters, bounded rounds") {
     // chain 1-2-3-4 (greedy applyPairDedup would mis-drop here), clique
     // {10,11,12}, isolated pair {20,21}
