@@ -53,6 +53,11 @@ object WarcScaleBench {
     val visits = if (args.length > 2) args(2).toInt else 3
     val lo = if (args.length > 3) args(3).toInt else 4
     val hi = if (args.length > 4) args(4).toInt else 16
+    // split size chooses the task granularity: groups ~= corpus_bytes /
+    // split. Default 4 MB keeps groups >> hi even for a small staged
+    // corpus; production readIndexed defaults to 32 MB (Common-Crawl
+    // archives are ~1 GB, so 32 groups per archive there)
+    val splitBytes = (if (args.length > 5) args(5).toLong else 4L) * 1024 * 1024
 
     def session(n: Int): SparkSession = {
       val s = SparkSession.builder()
@@ -79,13 +84,15 @@ object WarcScaleBench {
       val groups = s.read.textFile(s"$dir/*.warc.gz.idx")
         .select(input_file_name().as("idx"),
           split(col("value"), " ").getItem(0).cast("long").as("off"))
-        .groupBy(col("idx"), floor(col("off") / (32L * 1024 * 1024)).as("grp"))
+        .groupBy(col("idx"), floor(col("off") / splitBytes).as("grp"))
         .count().count()
       println(s"[warc-scale] member groups = $groups over $archives archives " +
         s"(one task per GROUP, not per archive)")
-      // JIT warm-up for the cascade kernel
+      // JIT warm-up for the WHOLE timed path (seek + gunzip + WARC
+      // parse + cascade), not just the cascade kernel
       graft.extract.Extract.extractPages(
-        graft.table.SyntheticPages.generate(s, 8000, partitions = 32).toDF()).count()
+        graft.sources.Warc.readIndexed(s, dir, bytesPerSplit = splitBytes)
+          .where(col("succeeded")).select(col("url"), col("html"))).count()
       s.stop()
     }
 
@@ -93,7 +100,7 @@ object WarcScaleBench {
     for (v <- 1 to visits; n <- Seq(lo, hi)) {
       val s = session(n)
       val t0 = System.nanoTime()
-      val rows = graft.sources.Warc.readIndexed(s, dir)
+      val rows = graft.sources.Warc.readIndexed(s, dir, bytesPerSplit = splitBytes)
         .where(col("succeeded"))
         .select(col("url"), col("html"))
       val cnt = graft.extract.Extract.extractPages(rows)
