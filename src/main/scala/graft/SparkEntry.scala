@@ -380,6 +380,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "line_dedup" -> ((s, dir) => {
+      // RefinedWeb/CCNet line-level boilerplate removal. The tier's
+      // documents are single-line, so the query reconstructs the
+      // multi-line web-page shape deterministically — a universal
+      // header line, the document body, one of 7 rotating footers —
+      // and the pass must excise exactly the lines recurring in >= 3
+      // distinct docs (header, every footer, and any body shared by an
+      // exact-dup family of >= 3) while leaving unique bodies intact.
+      // The oracle rebuilds the same pages and recomputes the rule
+      // with string_split + count(DISTINCT doc_id) + string_agg
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("SITE NAVIGATION MENU\n"), col("text"), lit("\n"),
+          lit("Copyright footer variant "), pmod(col("doc_id"), lit(7)))
+          .as("text"))
+      graft.ops.Dedup.lineDedup(pages, minDocs = 3)
+        .withColumn("n_removed", col("n_removed").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "domain_cap" -> ((s, dir) =>
+      // Gopher/C4 per-domain cap: keep the 5 longest docs per source,
+      // ties by doc_id. Skew-safe two-phase rank (salt = physical
+      // partition id) — a hot domain never lands whole on one reducer
+      graft.ops.DomainCap.domainCap(t(s, dir, "documents"), cap = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("doc_id"))),
+
     "text_winnow" -> ((s, dir) => {
       // winnowing fingerprints (Schleimer et al. rolling-hash local
       // fingerprints); golden-parquet oracle like the chunker
@@ -1291,6 +1318,40 @@ object SparkEntry {
         |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
         |  (id = min(lab)) AS kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "line_dedup" ->
+      // text-domain recomputation: the kernel counts/matches 64-bit
+      // line fingerprints (8-byte shuffle keys, fingerprint-set
+      // broadcast); the oracle counts the line STRINGS themselves —
+      // identical results absent a 2^-64 fingerprint collision
+      """WITH d AS (SELECT doc_id,
+        |    'SITE NAVIGATION MENU' || chr(10) || text || chr(10) ||
+        |    'Copyright footer variant ' || (doc_id % 7) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM d),
+        |freq AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS n
+        |    FROM l WHERE line <> '' GROUP BY line) WHERE n >= 3),
+        |kept AS (SELECT doc_id, line, pos FROM l
+        |  WHERE line = '' OR line NOT IN (SELECT line FROM freq)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text,
+        |  ((SELECT count(*) FROM l WHERE l.doc_id = d.doc_id)
+        |    - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "domain_cap" ->
+      """SELECT doc_id, source, n_chars, rn::BIGINT AS rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "set_ops" ->
       """WITH segs AS (SELECT DISTINCT c_mktsegment AS v FROM customer),

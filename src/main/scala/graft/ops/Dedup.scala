@@ -527,6 +527,83 @@ object Dedup {
       .select("train_id", "eval_id", "shared_shingles", "overlap_bp")
   }
 
+  /** 64-bit line fingerprint: FNV-1a over UTF-16 code units + finalizer
+    * mix. Both lineDedup passes use the same function, so the counted
+    * set and the removal set agree; a cross-line collision (~2⁻⁶⁴ per
+    * pair) merges two lines' document counts — the standard
+    * hash-countable trade every CCNet-style pipeline makes.
+    */
+  private[ops] def lineHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    mix(h)
+  }
+
+  /** Line-level corpus dedup (the RefinedWeb / CCNet boilerplate pass,
+    * public method): a non-empty line occurring in >= `minDocs`
+    * DISTINCT documents is corpus boilerplate (nav menus, cookie
+    * banners, footers) and is removed from EVERY document; empty lines
+    * are structure and always kept. Returns
+    * (doc_id, text, n_removed) with lines rejoined in original order.
+    *
+    * Scale shape: document text never shuffles. Pass 1 ships only
+    * per-doc-distinct 8-byte line hashes into a map-side-combinable
+    * count; the surviving boilerplate set is bounded (its size is at
+    * most total_lines/minDocs and in practice the distinct boilerplate
+    * vocabulary — `maxBoilerplate` fails loudly if an adversarial
+    * corpus breaks that assumption) and broadcast into a second
+    * per-row kernel pass that filters lines in place — the same
+    * bounded-broadcast discipline as contaminationCheck's eval side.
+    */
+  /** lineDedup's counting pass, exposed for plan gating: per-doc-
+    * distinct 8-byte line fingerprints into a map-side-combinable
+    * count — the ONLY thing that shuffles is the (h, partial-count)
+    * pair; document text never crosses an exchange.
+    */
+  def boilerplateLineHashes(docs: DataFrame, minDocs: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          text.split("\n", -1).iterator
+            .filter(_.nonEmpty).map(lineHash)
+            .filter(h => seen.add(h))
+        }
+      }
+      .toDF("h").groupBy("h").count()
+      .where(col("count") >= minDocs)
+      .select(col("h"))
+  }
+
+  def lineDedup(docs: DataFrame, minDocs: Int = 3,
+      maxBoilerplate: Int = 1 << 22): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    val freq = boilerplateLineHashes(docs, minDocs)
+    val nFreq = freq.count()
+    require(nFreq <= maxBoilerplate,
+      s"boilerplate set $nFreq exceeds bound $maxBoilerplate — raise minDocs")
+    val bc = spark.sparkContext.broadcast(
+      freq.as[Long].collect().foldLeft(new java.util.HashSet[java.lang.Long]()) {
+        (s, h) => s.add(h); s
+      })
+    src.map { case (id, text) =>
+      if (text == null) (id, null: String, 0)
+      else {
+        val lines = text.split("\n", -1)
+        val kept = lines.filter(l => l.isEmpty || !bc.value.contains(lineHash(l)))
+        (id, kept.mkString("\n"), lines.length - kept.length)
+      }
+    }.toDF("doc_id", "text", "n_removed")
+  }
+
   /** Embedding-cosine near-dup pairs (brute force — the small-N /
     * oracle path; the scale path is Similarity.lshNearDupPairs).
     */

@@ -284,6 +284,49 @@ class PlanQualitySpec extends AnyFunSuite {
       s"chunker scan must prune to doc_id+text: $readSchema")
   }
 
+  test("line_dedup: counting exchange carries 8-byte hashes only; removal pass is shuffle-free") {
+    // AQE off so Exchange nodes are directly collectable (the adaptive
+    // wrapper hides children until execution)
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // pass 1: only (h, partial count) may cross the exchange
+    val countPlan = graft.ops.Dedup.boilerplateLineHashes(docs, 3)
+      .queryExecution.executedPlan
+    val exchanges = countPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, countPlan.toString)
+    exchanges.foreach { e =>
+      assert(e.output.forall(a => a.name == "h" || a.name.startsWith("count")),
+        s"line-count exchange must carry hash+count only: ${e.output.map(_.name)}")
+    }
+    assert(countPlan.toString.contains("partial_count") ||
+      countPlan.toString.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(countPlan.toString).isDefined,
+      s"line counting must combine map-side:\n$countPlan")
+    // pass 2 (the returned frame): per-row kernel, NO exchange at all
+    val outPlan = graft.ops.Dedup.lineDedup(docs, minDocs = 3)
+      .queryExecution.executedPlan
+    assert(outPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"line removal must not shuffle text:\n$outPlan")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("domain_cap: salted two-phase rank — hot domains split across reducers") {
+    val plan = SparkEntry.queries("domain_cap")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"expected the two-phase (salted + exact) window pair:\n$plan")
+    assert("hashpartitioning\\(source[^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"phase-1 exchange must salt the domain key with the partition id:\n$plan")
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

@@ -147,6 +147,43 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("lineDedup: cross-doc boilerplate lines removed, structure and unique lines kept") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOMMON FOOTER\n\nbody one"),
+      (2L, "COMMON FOOTER\nbody two"),
+      (3L, "body three\nCOMMON FOOTER"),
+      (4L, "unique alpha\nbody four"), // "unique alpha" in 2 docs < minDocs
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, minDocs = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, "unique alpha\n\nbody one", 1), // empty line is structure, kept
+      (2L, "body two", 1),
+      (3L, "body three", 1),
+      (4L, "unique alpha\nbody four", 0),
+      (5L, null, 0)))
+  }
+
+  test("topNPerKey: salted two-phase rank equals the exact single-window rank under skew") {
+    // hot key owns 80% of rows, spread over 8 partitions
+    val rows = (0 until 500).map { i =>
+      val key = if (i % 5 != 0) "hot" else s"cold${i % 17}"
+      (i.toLong, key, (i * 37) % 211)
+    }
+    val df = rows.toDF("doc_id", "source", "n_chars").repartition(8)
+    val got = graft.ops.DomainCap.topNPerKey(df,
+        keys = Seq(col("source")),
+        order = Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (k, g) =>
+      g.sortBy(r => (-r._3, r._1)).take(3).zipWithIndex
+        .map { case (r, i) => (k, r._1, i + 1) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq == expected)
+  }
+
   test("twoLevelQuantizer: coarse layering is exhaustive, members partition the fine set") {
     // 9 fine centroids on 3 well-separated directions -> kc = 3
     val fine = (0 until 9).map { i =>
