@@ -380,6 +380,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // the production ingestion loop: today's batch (doc_id % 5 == 0,
+      // ~20% of the corpus) mines near-dups against the HISTORY's
+      // persisted band index — history text is only point-read for
+      // verification, old×old pairs are never re-mined. Same
+      // (64, 32, 3) LSH as dedup_minhash, so recall at j >= 0.8 is
+      // exhaustive ((1-0.8^2)^32 ~ 6e-15) and the oracle is the exact
+      // pair set restricted to pairs touching a new doc
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val oldDocs = docs.where(!isNew)
+      val newDocs = docs.where(isNew)
+      val history = graft.ops.Dedup.lshBandIndex(oldDocs,
+        numHashes = 64, bands = 32, shingleSize = 3)
+      graft.ops.Dedup.incrementalNearDupPairs(history, oldDocs, newDocs,
+          threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "line_dedup" -> ((s, dir) => {
       // RefinedWeb/CCNet line-level boilerplate removal. The tier's
       // documents are single-line, so the query reconstructs the
@@ -1318,6 +1337,12 @@ object SparkEntry {
         |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
         |  (id = min(lab)) AS kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $exactJaccardCte
+        |SELECT id_a, id_b, jaccard_bp FROM exact_pairs
+        |WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "line_dedup" ->
       // text-domain recomputation: the kernel counts/matches 64-bit

@@ -122,12 +122,29 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 5): DataFrame = {
+    val buckets = lshBandIndex(docs, numHashes, bands, shingleSize)
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(docs, candidates, threshold, shingleSize)
+  }
+
+  /** The banded-minhash index of a corpus: one (doc_id, band, key) row
+    * per band. This IS the table a production pipeline persists (e.g.
+    * as an IcebergLite unit) so that tomorrow's ingest batch joins
+    * against it instead of re-fingerprinting 10^12 historical docs.
+    */
+  def lshBandIndex(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val sig = minhashSignature(shingleHashes(text, shingleSize), numHashes)
@@ -140,17 +157,36 @@ object Dedup {
         (id, bandKeys)
       })
       .toDF("doc_id", "band_keys")
-
-    val buckets = sigs
       .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
+  }
+
+  /** Incremental near-dup mining — the production ingestion loop:
+    * dedupe a (small) NEW batch against an already-indexed corpus
+    * without touching historical text wholesale. The history
+    * contributes its PERSISTED band index ([[lshBandIndex]], read not
+    * recomputed); only the new batch is fingerprinted. Candidates =
+    * new×old band collisions ∪ new×new collisions — old×old pairs are
+    * yesterday's work and never re-mined — then exact-jaccard verify
+    * joins text for exactly the candidate ids (history is touched
+    * point-wise by id, the 10^12-doc table never scans). Emitted pairs
+    * therefore always involve ≥ 1 new doc; id_a < id_b as everywhere.
+    */
+  def incrementalNearDupPairs(oldIndex: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+    val nb = lshBandIndex(newDocs, numHashes, bands, shingleSize)
+    val newOld = nb.as("a")
+      .join(oldIndex.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val newNew = nb.as("a")
+      .join(nb.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-
-    verifyJaccard(docs, candidates, threshold, shingleSize)
+    val candidates = newOld.union(newNew).distinct()
+    verifyJaccard(oldDocs.unionByName(newDocs), candidates, threshold, shingleSize)
   }
 
   /** Exact-jaccard verification of candidate id pairs. */

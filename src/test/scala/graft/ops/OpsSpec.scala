@@ -147,6 +147,25 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("incrementalNearDupPairs == full-corpus pairs restricted to new-touching, old history untouched") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val oldDocs = docs.where(!isNew)
+    val newDocs = docs.where(isNew)
+    val history = Dedup.lshBandIndex(oldDocs, 64, 32, 3)
+    val inc = Dedup.incrementalNearDupPairs(history, oldDocs, newDocs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = Dedup.minhashLshPairs(docs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.nonEmpty, "tier should contain new-touching dup pairs")
+    assert(inc.toSeq == full.toSeq)
+  }
+
   test("lineDedup: cross-doc boilerplate lines removed, structure and unique lines kept") {
     val docs = Seq(
       (1L, "unique alpha\nCOMMON FOOTER\n\nbody one"),
