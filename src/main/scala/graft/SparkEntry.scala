@@ -380,6 +380,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "rag_mmr" -> ((s, dir) =>
+      // MMR diversity re-rank over the brute top-20: 5 greedy picks by
+      // bp-floored λ-relevance − (1−λ)-redundancy. Distributed work is
+      // ONE TakeOrdered pass; the greedy loop is the bounded
+      // serving-path step (20 rows collected, like rag_format)
+      graft.ops.Similarity.mmrRerank(
+        t(s, dir, "embeddings"), anchorVec(s, dir), m = 20, k = 5)),
+
     "dedup_incremental" -> ((s, dir) => {
       // the production ingestion loop: today's batch (doc_id % 5 == 0,
       // ~20% of the corpus) mines near-dups against the HISTORY's
@@ -1337,6 +1345,37 @@ object SparkEntry {
         |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
         |  (id = min(lab)) AS kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "rag_mmr" ->
+      // the greedy pick sequence reproduced with a recursive CTE: each
+      // step appends the argmax (bp-floored objective DESC, vec_id) of
+      // the remaining candidates; (1 - 0.7) spelled EXACTLY as the
+      // kernel computes 1-λ (binary64: 0.30000000000000004, not 0.3)
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT vec_id, v, list_cosine_similarity(v, (SELECT qv FROM q)) AS qs
+        |  FROM e
+        |  ORDER BY floor(list_cosine_similarity(v, (SELECT qv FROM q)) * 10000)
+        |    DESC, vec_id
+        |  LIMIT 20),
+        |sel AS (
+        |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+        |  UNION ALL
+        |  SELECT step + 1, list_append(picked, (
+        |      SELECT c.vec_id FROM cands c
+        |      WHERE NOT list_contains(sel.picked, c.vec_id)
+        |      ORDER BY floor((0.7 * c.qs - (1 - 0.7) * coalesce(
+        |          (SELECT max(list_cosine_similarity(c.v, s.v)) FROM cands s
+        |           WHERE list_contains(sel.picked, s.vec_id)), 0.0)) * 10000)
+        |        DESC, c.vec_id
+        |      LIMIT 1))
+        |  FROM sel WHERE step < 5)
+        |SELECT step::BIGINT AS rank, picked[step] AS vec_id,
+        |  (SELECT floor(c.qs * 10000)::BIGINT FROM cands c
+        |   WHERE c.vec_id = picked[step]) AS qs_bp
+        |FROM sel WHERE step >= 1 ORDER BY rank""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH $exactJaccardCte

@@ -510,6 +510,55 @@ object Similarity {
       .toDF("vec_id", "cell", "kept")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998,
+    * the standard RAG diversity pass): brute top-`m` by quantized query
+    * cosine (a distributed TakeOrdered — the only corpus-wide work),
+    * then `k` greedy picks maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s)`. The greedy loop runs
+    * driver-side over the m collected candidates — bounded by design
+    * (m rows, the same serving-path shape as the reference's result
+    * formatting step) and inherently sequential (each pick conditions
+    * on the previous). All comparisons are on basis-point-FLOORED
+    * objectives (ties → lowest vec_id), so a SQL oracle reproduces the
+    * exact pick sequence with a recursive CTE; doubles throughout.
+    *
+    * Returns (rank, vec_id, qs_bp) ordered by rank (1-based).
+    */
+  def mmrRerank(embeddings: DataFrame, query: Array[Float], m: Int = 20,
+      k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble)
+    val cands = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        (id, d, cosineDouble(d, q))
+      })
+      .toDF("vec_id", "v", "qs")
+      .orderBy(floor(col("qs") * 10000).desc, col("vec_id"))
+      .limit(m)
+      .as[(Long, Array[Double], Double)]
+      .collect()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    remaining ++= cands
+    while (picked.length < k && remaining.nonEmpty) {
+      val best = remaining.minBy { case (id, v, qs) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cosineDouble(v, p._2)).max
+        val objBp = math.floor((lambda * qs - (1 - lambda) * maxSim) * 10000).toLong
+        (-objBp, id) // max objective, ties -> lowest vec_id
+      }
+      picked += best
+      remaining -= best
+    }
+    picked.zipWithIndex.map { case ((id, _, qs), i) =>
+      (i + 1L, id, math.floor(qs * 10000).toLong)
+    }.toSeq.toDF("rank", "vec_id", "qs_bp")
+  }
+
   /** Centroids ↔ committed text artifact (one comma-separated line per
     * centroid; Double.toString round-trips exactly, so the SQL oracle's
     * inlined literals equal the kernel's binary64 values).

@@ -147,6 +147,22 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("mmrRerank: redundancy penalty demotes the near-duplicate of the first pick") {
+    // query NOT among candidates (else penalty == relevance and MMR
+    // cannot reorder): b best, a a near-dup of b, c diverse
+    val vecs = Seq(
+      (1L, Array(0.90f, 0.43f, 0f, 0f)),  // a: rel ~0.90, cos(a,b) ~0.998
+      (2L, Array(0.92f, 0.39f, 0f, 0f)),  // b: top relevance ~0.92
+      (3L, Array(0.60f, -0.80f, 0f, 0f))  // c: rel 0.60, cos(c,b) ~0.24
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0f, 0f, 0f, 0f)
+    val out = Similarity.mmrRerank(vecs, q, m = 3, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pure top-k order would be 2, 1, 3; MMR demotes the near-dup: 2, 3, 1
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 1L),
+      s"expected diversity reorder 2,3,1: ${out.toSeq}")
+  }
+
   test("incrementalNearDupPairs == full-corpus pairs restricted to new-touching, old history untouched") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val isNew = pmod(col("doc_id"), lit(5)) === 0
