@@ -240,6 +240,16 @@ object SparkEntry {
         .streamDedup(s, s"$dir/documents.parquet")
         .orderBy(col("sha"))),
 
+    "stream_ingest" -> ((s, dir) =>
+      // the production crawl loop as a stream: new docs (id % 5 == 0)
+      // arrive in 4 micro-batches, each mined against the persisted
+      // band index (history + prior batches) then committed to it —
+      // pair set equals the one-shot incremental miner regardless of
+      // batch boundaries, which is what the shared oracle checks
+      graft.streaming.StreamingOps
+        .streamIncrementalDedup(s, s"$dir/documents.parquet", nBatches = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "warc_roundtrip" -> ((s, dir) => {
       // WARC (ISO 28500) encode→decode roundtrip over real per-record
       // gzip members — the Common-Crawl .warc.gz layout whose member
@@ -1378,6 +1388,14 @@ object SparkEntry {
         |FROM sel WHERE step >= 1 ORDER BY rank""".stripMargin,
 
     "dedup_incremental" ->
+      s"""WITH $exactJaccardCte
+        |SELECT id_a, id_b, jaccard_bp FROM exact_pairs
+        |WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "stream_ingest" ->
+      // identical oracle to dedup_incremental: the stream's union of
+      // per-batch outputs must equal the one-shot incremental mining
       s"""WITH $exactJaccardCte
         |SELECT id_a, id_b, jaccard_bp FROM exact_pairs
         |WHERE id_a % 5 = 0 OR id_b % 5 = 0

@@ -301,4 +301,69 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Streaming ingestion dedup — the production crawl loop end-to-end:
+    * new documents arrive in micro-batches; each batch mines near-dup
+    * pairs against the PERSISTED band index (the history plus every
+    * previously ingested batch), then commits its own bands and texts
+    * to the index tables — so cross-batch duplicates surface when the
+    * later twin arrives, old×old is never re-mined, and each pair is
+    * emitted exactly once by construction (it is mined only by its
+    * LATER side's batch). The union of all batch outputs therefore
+    * equals the one-shot [[graft.ops.Dedup.incrementalNearDupPairs]]
+    * over the same split, independent of micro-batch boundaries — the
+    * batch-equality property the driver oracle checks.
+    *
+    * History = doc_id % 5 != 0 (pre-indexed); the new 20% is staged as
+    * `nBatches` parquet files consumed one file per trigger.
+    */
+  def streamIncrementalDedup(spark: SparkSession, docsPath: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(stageDir(docsPath))
+      .where(col("doc_id") < 2000).select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-inc")
+    val (indexDir, textsDir, newDir, pairsDir, ckpt) =
+      (s"$work/index", s"$work/texts", s"$work/new", s"$work/pairs", s"$work/ckpt")
+    // seed the persisted index tables with the history
+    val oldDocs = docs.where(!isNew)
+    graft.ops.Dedup.lshBandIndex(oldDocs, numHashes = 64, bands = 32,
+      shingleSize = 3).write.parquet(indexDir)
+    oldDocs.write.parquet(textsDir)
+    // stage the incoming batches as separate files (one per trigger)
+    docs.where(isNew)
+      .repartition(nBatches, pmod(col("doc_id"), lit(nBatches)))
+      .write.parquet(newDir)
+    // pairs sink must exist even if a batch emits nothing
+    spark.emptyDataset[(Long, Long, Long)]
+      .toDF("id_a", "id_b", "jaccard_bp").write.parquet(pairsDir)
+
+    val schema = docs.schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(newDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val history = spark.read.parquet(indexDir)
+        val historyTexts = spark.read.parquet(textsDir)
+        val b = batch.persist()
+        graft.ops.Dedup.incrementalNearDupPairs(history, historyTexts, b,
+            threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+          .write.mode("append").parquet(pairsDir)
+        // commit this batch into the index tables — the next batch
+        // mines against history + everything ingested before it
+        graft.ops.Dedup.lshBandIndex(b, numHashes = 64, bands = 32,
+          shingleSize = 3).write.mode("append").parquet(indexDir)
+        b.write.mode("append").parquet(textsDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(pairsDir)
+  }
 }

@@ -67,6 +67,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.length <= docs && docs / 3 > 0)
   }
 
+  test("streaming incremental dedup: union of per-batch pairs equals one-shot mining, any batch split") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val docs = spark.read.parquet(path).where(col("doc_id") < 2000)
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val oneShot = pairsOf(graft.ops.Dedup.incrementalNearDupPairs(
+      graft.ops.Dedup.lshBandIndex(docs.where(!isNew), 64, 32, 3),
+      docs.where(!isNew), docs.where(isNew),
+      threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3))
+    // two different micro-batch splits must both equal the one-shot set
+    for (n <- Seq(1, 3)) {
+      val streamed = pairsOf(
+        StreamingOps.streamIncrementalDedup(spark, path, nBatches = n))
+      assert(streamed.nonEmpty && streamed == oneShot,
+        s"nBatches=$n: stream pair set must equal one-shot mining")
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions past the watermark") {
     val sfDir = "/root/testdata/sf0.001"
     val gapMs = 30L * 60 * 1000
