@@ -390,6 +390,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "shard_pack" -> ((s, dir) =>
+      // contiguous budget sharding for sequential corpus writers:
+      // shard = floor(exclusive-prefix-sum(n_chars) / 50000). Two-phase
+      // distributed prefix sum — the naive un-partitioned window is a
+      // one-task trap (the whole corpus on a single reducer)
+      graft.ops.Sharding.shardByBudget(
+          t(s, dir, "documents"), weight = "n_chars", budget = 50000L)
+        .orderBy(col("doc_id"))),
+
     "rag_mmr" -> ((s, dir) =>
       // MMR diversity re-rank over the brute top-20: 5 greedy picks by
       // bp-floored λ-relevance − (1−λ)-redundancy. Distributed work is
@@ -1355,6 +1364,18 @@ object SparkEntry {
         |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
         |  (id = min(lab)) AS kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "shard_pack" ->
+      // the single-window SQL spelling IS the oracle — correct at
+      // oracle scale, the one-task trap the kernel exists to avoid
+      """SELECT doc_id,
+        |  (pre // 50000)::BIGINT AS shard,
+        |  (pre % 50000)::BIGINT AS shard_offset
+        |FROM (
+        |  SELECT doc_id, coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "rag_mmr" ->
       // the greedy pick sequence reproduced with a recursive CTE: each

@@ -147,6 +147,24 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("shardByBudget: two-phase prefix sum equals the serial cumsum on any partitioning") {
+    val rows = (0L until 300L).map(i => (i, 1L + (i * 31) % 97))
+    val df = rows.toDF("doc_id", "n_chars").repartition(7) // scrambled input
+    val got = graft.ops.Sharding.shardByBudget(df, "n_chars", budget = 500)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var prefix = 0L
+    val expected = rows.sortBy(_._1).map { case (id, w) =>
+      val t = (id, prefix / 500, prefix % 500)
+      prefix += w
+      t
+    }
+    assert(got.toSeq == expected)
+    // every shard except the last carries at least the budget boundary
+    val shards = got.map(_._2).distinct
+    assert(shards.length > 1, "test must span multiple shards")
+  }
+
   test("mmrRerank: redundancy penalty demotes the near-duplicate of the first pick") {
     // query NOT among candidates (else penalty == relevance and MMR
     // cannot reorder): b best, a a near-dup of b, c diverse
