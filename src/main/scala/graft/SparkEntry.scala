@@ -86,6 +86,21 @@ object SparkEntry {
           graft.ops.Similarity.centroidsFromFile(s"$goldenDir/ivf_centroids.txt"))
     }
 
+  /** OPQ codebooks trained at the verification tier over ROTATED
+    * vectors — recomputed here by the same deterministic rule the
+    * registered ann_opq query applies (rotationMatrix is a pure
+    * function of (dim, seed); Pq.train is vec_id-order deterministic).
+    * Fallback (no live tier — SQL-text inspection only): the committed
+    * unrotated PQ artifact, which keeps the SQL shape identical.
+    */
+  private lazy val tierOpqCodebooks: graft.ops.Pq.Codebooks =
+    tierEmbeddings match {
+      case Some(e) =>
+        graft.ops.Pq.train(
+          graft.ops.Pq.rotate(e, graft.ops.Pq.rotationMatrix(64)), m = 8, k = 16)
+      case None => graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational coverage (SURVEY.md §2.6) ----------------
     "q1_agg" -> ((s, dir) =>
@@ -388,6 +403,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    "ann_opq" -> ((s, dir) => {
+      // OPQ-RR (Ge et al. 2013 baseline): deterministic random rotation
+      // decorrelates dimensions before PQ so no subspace hoards the
+      // variance; codebooks train on the ROTATED tier (deterministic,
+      // the oracle re-derives them by the same rule). Rotation is a
+      // shuffle-free map; everything downstream is the ann_pq pipeline
+      val r = graft.ops.Pq.rotationMatrix(64)
+      val rot = graft.ops.Pq.rotate(t(s, dir, "embeddings"), r)
+      val cb = graft.ops.Pq.train(rot, m = 8, k = 16)
+      graft.ops.Pq.adcTopK(graft.ops.Pq.encode(rot, cb), cb,
+        graft.ops.Pq.rotateVec(anchorVec(s, dir), r), k = 10)
     }),
 
     "shard_pack" -> ((s, dir) =>
@@ -986,8 +1014,9 @@ object SparkEntry {
     * `d` CTE must expose `v`, the `q` CTE must expose `qv`).
     */
   private final case class PqSql(dlCols: String, codeCols: String, scoreBp: String)
-  private def pqSqlParts(): PqSql = {
-    val cb = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt")
+  private def pqSqlParts(
+      cb: graft.ops.Pq.Codebooks = graft.ops.Pq.fromFile(s"$goldenDir/pq_codebooks.txt"))
+      : PqSql = {
     val m = cb.length
     val subDim = cb(0)(0).length
     def lit(c: Array[Double]) = c.mkString("[", ", ", "]")
@@ -1364,6 +1393,26 @@ object SparkEntry {
         |SELECT id::BIGINT AS doc_id, min(lab)::BIGINT AS component,
         |  (id = min(lab)) AS kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "ann_opq" -> {
+      // rotation recomputed in SQL from the same pure-function matrix
+      // (binary64 literals), with the kernel's FLOAT round-trip spelled
+      // as ::FLOAT::DOUBLE; codebooks derived from the LIVE tier over
+      // rotated vectors by the same deterministic trainer
+      val r = graft.ops.Pq.rotationMatrix(64)
+      val rlit = r.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val p = pqSqlParts(tierOpqCodebooks)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         |r AS (SELECT vec_id, list_transform(range(1, 65),
+         |  i -> CAST(list_dot_product(($rlit)[i], v0) AS FLOAT)::DOUBLE) AS v
+         |  FROM e),
+         |d AS (SELECT vec_id, v, ${p.dlCols} FROM r),
+         |c AS (SELECT vec_id, ${p.codeCols} FROM d),
+         |q AS (SELECT v AS qv FROM r WHERE vec_id = 0)
+         |SELECT vec_id, ${p.scoreBp}
+         |FROM c, q
+         |ORDER BY score_bp DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "shard_pack" ->
       // the single-window SQL spelling IS the oracle — correct at

@@ -64,6 +64,68 @@ object Pq {
     }
   }
 
+  /** Deterministic random rotation (the OPQ-RR baseline of Ge et al.
+    * 2013: decorrelate dimensions before product quantization so no
+    * subspace hoards the variance): hash-noise rows orthonormalized by
+    * modified Gram-Schmidt. A pure function of (dim, seed) — both the
+    * kernel and the SQL-oracle generator derive the identical binary64
+    * matrix, no artifact file needed. Rotation preserves dots/norms, so
+    * ADC cosine scores stay directly comparable to the unrotated path.
+    */
+  def rotationMatrix(dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    def noise(i: Int, j: Int): Double = {
+      var h = seed * 0x9e3779b97f4a7c15L + i * 0xff51afd7ed558ccdL + j
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      (h >>> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0
+    }
+    val r = Array.tabulate(dim, dim)((i, j) => noise(i, j))
+    var i = 0
+    while (i < dim) {
+      var k = 0
+      while (k < i) {
+        var dot = 0.0; var j = 0
+        while (j < dim) { dot += r(i)(j) * r(k)(j); j += 1 }
+        j = 0
+        while (j < dim) { r(i)(j) -= dot * r(k)(j); j += 1 }
+        k += 1
+      }
+      var n = 0.0; var j = 0
+      while (j < dim) { n += r(i)(j) * r(i)(j); j += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      j = 0
+      while (j < dim) { r(i)(j) *= inv; j += 1 }
+      i += 1
+    }
+    r
+  }
+
+  /** out(i) = dot(r(i), v) in ascending-j order, rounded to FLOAT —
+    * the same binary32 round-trip the SQL oracle spells as ::FLOAT.
+    */
+  def rotateVec(v: Array[Float], r: Array[Array[Double]]): Array[Float] = {
+    val out = new Array[Float](r.length)
+    var i = 0
+    while (i < r.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { d += r(i)(j) * v(j); j += 1 }
+      out(i) = d.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Shuffle-free rotation pass: same (vec_id, embedding) shape out,
+    * so the whole PQ pipeline composes unchanged downstream.
+    */
+  def rotate(embeddings: DataFrame, r: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, rotateVec(v, r)) })
+      .toDF("vec_id", "embedding")
+  }
+
   /** argmin-L2 with the first-minimal tie rule (strict <). */
   private def nearestSub(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0

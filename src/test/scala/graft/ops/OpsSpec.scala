@@ -147,6 +147,27 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1, true), (3L, 1, false), (4L, 0, true)))
   }
 
+  test("rotationMatrix is orthonormal; rotation preserves cosine structure") {
+    val r = graft.ops.Pq.rotationMatrix(64)
+    for (i <- 0 until 64; j <- i until 64) {
+      var d = 0.0; var k = 0
+      while (k < 64) { d += r(i)(k) * r(j)(k); k += 1 }
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-12,
+        s"rows $i,$j not orthonormal: $d")
+    }
+    // cosine invariance through the float round-trip (~1e-6 tolerance)
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < 64) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1 }
+      d / math.sqrt(nx * ny)
+    }
+    val (ra, rb) = (graft.ops.Pq.rotateVec(a, r), graft.ops.Pq.rotateVec(b, r))
+    assert(math.abs(cos(a, b) - cos(ra, rb)) < 1e-5)
+  }
+
   test("shardByBudget: two-phase prefix sum equals the serial cumsum on any partitioning") {
     val rows = (0L until 300L).map(i => (i, 1L + (i * 31) % 97))
     val df = rows.toDF("doc_id", "n_chars").repartition(7) // scrambled input
