@@ -569,7 +569,7 @@ object Dedup {
     * pair) merges two lines' document counts — the standard
     * hash-countable trade every CCNet-style pipeline makes.
     */
-  private[ops] def lineHash(s: String): Long = {
+  private[graft] def lineHash(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }

@@ -81,13 +81,21 @@ object Pq {
     val r = Array.tabulate(dim, dim)((i, j) => noise(i, j))
     var i = 0
     while (i < dim) {
-      var k = 0
-      while (k < i) {
-        var dot = 0.0; var j = 0
-        while (j < dim) { dot += r(i)(j) * r(k)(j); j += 1 }
-        j = 0
-        while (j < dim) { r(i)(j) -= dot * r(k)(j); j += 1 }
-        k += 1
+      // two projection passes ("twice is enough", Kahan/Parlett): one
+      // pass leaves O(eps/residual) error when the row is nearly in the
+      // span of its predecessors (the last rows of a square matrix
+      // always are); the second pass removes the amplified component
+      var pass = 0
+      while (pass < 2) {
+        var k = 0
+        while (k < i) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += r(i)(j) * r(k)(j); j += 1 }
+          j = 0
+          while (j < dim) { r(i)(j) -= dot * r(k)(j); j += 1 }
+          k += 1
+        }
+        pass += 1
       }
       var n = 0.0; var j = 0
       while (j < dim) { n += r(i)(j) * r(i)(j); j += 1 }

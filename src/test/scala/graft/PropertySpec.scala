@@ -224,4 +224,39 @@ object PropertySpec extends Properties("graft") {
       nw >= 0 && mean >= 0 && sym >= 0 &&
         alpha >= 0 && alpha <= 10000 && g2 >= 0 && g3 >= 0
     }
+
+  property("rotationMatrix orthonormal for arbitrary (dim, seed); rotateVec preserves norm") =
+    forAll(Gen.choose(1, 24), Gen.choose(Long.MinValue, Long.MaxValue)) { (dim, seed) =>
+      val r = graft.ops.Pq.rotationMatrix(dim, seed)
+      val ortho = (0 until dim).forall { i =>
+        (i until dim).forall { j =>
+          var d = 0.0; var k = 0
+          while (k < dim) { d += r(i)(k) * r(j)(k); k += 1 }
+          math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9
+        }
+      }
+      val v = Array.tabulate(dim)(i => ((seed + i) % 7 - 3).toFloat)
+      val rv = graft.ops.Pq.rotateVec(v, r)
+      def norm(x: Array[Float]) = math.sqrt(x.map(e => e.toDouble * e).sum)
+      ortho && math.abs(norm(v) - norm(rv)) < 1e-3
+    }
+
+  property("twoLevelQuantizer: members partition the fine set; assignment lands in the chosen coarse group") =
+    forAll(Gen.choose(2, 40), Gen.choose(0L, 1L << 40)) { (k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val fine = Array.fill(k)(Array.fill(6)(rnd.nextGaussian()))
+      val q = graft.ops.Similarity.twoLevelQuantizer(fine)
+      val all = q.members.flatten.sorted
+      val partitions = all.toSeq == (0 until k)
+      val v = Array.fill(6)(rnd.nextGaussian())
+      val cell = graft.ops.Similarity.nearestTwoLevel(v, q)
+      val inGroup = q.members.exists(_.contains(cell))
+      partitions && inGroup && cell >= 0 && cell < k
+    }
+
+  property("lineHash: deterministic, distinct on distinct short strings (no trivial collisions)") =
+    forAll(Gen.listOf(Gen.asciiPrintableStr.map(_.take(30))).map(_.distinct.take(50))) { ls =>
+      val hs = ls.map(graft.ops.Dedup.lineHash)
+      hs == ls.map(graft.ops.Dedup.lineHash) && hs.distinct.length == ls.length
+    }
 }
