@@ -318,6 +318,35 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental: candidate mining exchanges carry ids/bands only, never text") {
+    // the ingest-loop scale premise: history text is point-read for the
+    // verified candidate set only — no exchange upstream of the verify
+    // join may carry a text column
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val history = graft.ops.Dedup.lshBandIndex(docs.where(!isNew), 64, 32, 3)
+      val nb = graft.ops.Dedup.lshBandIndex(docs.where(isNew), 64, 32, 3)
+      val candidates = nb.as("a").join(history.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+      val plan = candidates.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("text")),
+          s"band-index exchange carries text: ${e.output.map(_.name)}")
+      }
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("domain_cap: salted two-phase rank — hot domains split across reducers") {
     val plan = SparkEntry.queries("domain_cap")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

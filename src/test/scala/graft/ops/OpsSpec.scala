@@ -202,6 +202,19 @@ class OpsSpec extends AnyFunSuite {
       s"expected diversity reorder 2,3,1: ${out.toSeq}")
   }
 
+  test("connectedComponents: 2048-node path converges in O(log diameter) rounds") {
+    // the adversarial worst case for star contraction — one path graph,
+    // diameter 2047. Kiveris et al. bound alternating large/small-star
+    // at O(log^2 n) with O(log n) typical; the fixpoint must land well
+    // under the 25-round cap with every node labeled by the path min
+    val pairs = (0L until 2047L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 2048 && rows.forall(_._2 == 0L),
+      "every path node must canonicalize to the minimum id")
+    assert(rounds <= 15, s"path-graph rounds must stay logarithmic, got $rounds")
+  }
+
   test("incrementalNearDupPairs == full-corpus pairs restricted to new-touching, old history untouched") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val isNew = pmod(col("doc_id"), lit(5)) === 0
