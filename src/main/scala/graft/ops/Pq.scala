@@ -111,6 +111,8 @@ object Pq {
     * the same binary32 round-trip the SQL oracle spells as ::FLOAT.
     */
   def rotateVec(v: Array[Float], r: Array[Array[Double]]): Array[Float] = {
+    require(r.length == v.length,
+      s"rotation dim ${r.length} != vector dim ${v.length}")
     val out = new Array[Float](r.length)
     var i = 0
     while (i < r.length) {

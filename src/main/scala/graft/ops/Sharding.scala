@@ -34,8 +34,10 @@ object Sharding {
     require(budget > 0, s"budget must be positive: $budget")
     val spark = docs.sparkSession
     val rdd = docs
+      // null weight ≡ 0, matching the SQL oracle's sum() which skips
+      // nulls in the running prefix (and Row.getLong would NPE)
       .select(col(idCol).cast("long").as("id"),
-        col(weight).cast("long").as("w"))
+        coalesce(col(weight).cast("long"), lit(0L)).as("w"))
       .orderBy(col("id"))
       .rdd
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -540,6 +540,11 @@ object Similarity {
       .limit(m)
       .as[(Long, Array[Double], Double)]
       .collect()
+    // fail loudly rather than silently diverging from the recursive-CTE
+    // oracle, whose fixed k steps would append NULL picks past the
+    // candidate count
+    require(cands.length >= k,
+      s"MMR needs >= k candidates: m yielded ${cands.length} < k=$k")
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
     val remaining = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
     remaining ++= cands
