@@ -392,6 +392,13 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .distinct()
+        // the eager localCheckpoint is LOAD-BEARING for the logical
+        // plan, not just the physical data: persist() keeps each
+        // round's plan nested inside the next and Catalyst re-optimizes
+        // the whole tower every iteration — measured as a planning
+        // blow-up past ~10 rounds (a 12-round path graph went from
+        // seconds to unbounded). Checkpointing truncates lineage each
+        // round, so planning cost stays constant per round.
         .localCheckpoint(true)
       // fixpoint when the edge SET is unchanged. The per-round probe is
       // a cheap one-pass fingerprint (count + order-independent XOR of
