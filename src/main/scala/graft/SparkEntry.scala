@@ -1423,15 +1423,19 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, coalesce(sum(n_chars) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
 
     "rag_mmr" ->
       // the greedy pick sequence reproduced with a recursive CTE: each
       // step appends the argmax (bp-floored objective DESC, vec_id) of
-      // the remaining candidates; (1 - 0.7) spelled EXACTLY as the
-      // kernel computes 1-λ (binary64: 0.30000000000000004, not 0.3)
-      """WITH RECURSIVE e AS (
+      // the remaining candidates. BOTH multipliers are interpolated
+      // from the kernel's binary64 values and cast to DOUBLE — DuckDB
+      // parses bare numeric literals as DECIMAL (1 - 0.7 is an EXACT
+      // decimal 0.3 there, not the kernel's 1-λ =
+      // 0.30000000000000004), so spelling the arithmetic inline would
+      // diverge on candidates whose objective straddles a bp boundary
+      s"""WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |cands AS (
@@ -1446,7 +1450,8 @@ object SparkEntry {
         |  SELECT step + 1, list_append(picked, (
         |      SELECT c.vec_id FROM cands c
         |      WHERE NOT list_contains(sel.picked, c.vec_id)
-        |      ORDER BY floor((0.7 * c.qs - (1 - 0.7) * coalesce(
+        |      ORDER BY floor((CAST(${0.7} AS DOUBLE) * c.qs
+        |          - CAST(${1 - 0.7} AS DOUBLE) * coalesce(
         |          (SELECT max(list_cosine_similarity(c.v, s.v)) FROM cands s
         |           WHERE list_contains(sel.picked, s.vec_id)), 0.0)) * 10000)
         |        DESC, c.vec_id
@@ -1491,7 +1496,9 @@ object SparkEntry {
         |  WHERE line = '' OR line NOT IN (SELECT line FROM freq)),
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
         |    count(*) AS n_kept FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.text, '') AS text,
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(a.text, '') END AS text,
         |  ((SELECT count(*) FROM l WHERE l.doc_id = d.doc_id)
         |    - coalesce(a.n_kept, 0))::BIGINT AS n_removed
         |FROM d LEFT JOIN agg a USING (doc_id)

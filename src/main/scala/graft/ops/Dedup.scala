@@ -175,9 +175,13 @@ object Dedup {
       newDocs: DataFrame, threshold: Double = 0.8, numHashes: Int = 64,
       bands: Int = 16, shingleSize: Int = 5): DataFrame = {
     val nb = lshBandIndex(newDocs, numHashes, bands, shingleSize)
+    // the id-inequality guard matters when a doc_id exists on BOTH
+    // sides (a re-crawled document): its new bands collide with its own
+    // persisted old bands, which must not become a (id, id) self-pair
     val newOld = nb.as("a")
       .join(oldIndex.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
     val newNew = nb.as("a")
@@ -362,6 +366,16 @@ object Dedup {
   /** [[connectedComponents]] plus the round count it took to converge —
     * the bound the scale evidence reports.
     */
+  /** One-pass order-independent edge-set fingerprint: (count, bit_xor
+    * of row hashes). The set is distinct, so XOR is collision-stable
+    * against reordering, and under ANSI arithmetic XOR cannot overflow.
+    */
+  private def edgeFingerprint(edges: DataFrame): (Long, Long) = {
+    val fp = edges.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+    (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+  }
+
   def connectedComponentsWithRounds(pairs: DataFrame,
       maxRounds: Int = 25): (DataFrame, Int) = {
     // canonical directed edges (larger id → smaller id), deduped
@@ -372,7 +386,10 @@ object Dedup {
       .localCheckpoint(true)
     var rounds = 0
     var done = false
-    var lastFp = (-1L, 0L)
+    // seeded from the INITIAL edge set (not a sentinel) so an
+    // already-converged input is detected in round 1, keeping the
+    // reported round counts comparable with the pre-fingerprint code
+    var lastFp = edgeFingerprint(edges)
     while (!done && rounds < maxRounds) {
       // LARGE-STAR: over the symmetrized graph, every neighbor v > u
       // re-links to m = min(Γ(u) ∪ {u}). Flattens tall chains.
@@ -408,9 +425,7 @@ object Dedup {
       // runs once at convergence instead of every round, and a
       // fingerprint collision (~2^-64) costs an extra round, never a
       // wrong answer
-      val fp = small.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
-      val fpNow = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+      val fpNow = edgeFingerprint(small)
       if (fpNow == lastFp)
         done = small.except(edges).isEmpty && edges.except(small).isEmpty
       lastFp = fpNow
@@ -583,22 +598,6 @@ object Dedup {
     mix(h)
   }
 
-  /** Line-level corpus dedup (the RefinedWeb / CCNet boilerplate pass,
-    * public method): a non-empty line occurring in >= `minDocs`
-    * DISTINCT documents is corpus boilerplate (nav menus, cookie
-    * banners, footers) and is removed from EVERY document; empty lines
-    * are structure and always kept. Returns
-    * (doc_id, text, n_removed) with lines rejoined in original order.
-    *
-    * Scale shape: document text never shuffles. Pass 1 ships only
-    * per-doc-distinct 8-byte line hashes into a map-side-combinable
-    * count; the surviving boilerplate set is bounded (its size is at
-    * most total_lines/minDocs and in practice the distinct boilerplate
-    * vocabulary — `maxBoilerplate` fails loudly if an adversarial
-    * corpus breaks that assumption) and broadcast into a second
-    * per-row kernel pass that filters lines in place — the same
-    * bounded-broadcast discipline as contaminationCheck's eval side.
-    */
   /** lineDedup's counting pass, exposed for plan gating: per-doc-
     * distinct 8-byte line fingerprints into a map-side-combinable
     * count — the ONLY thing that shuffles is the (h, partial-count)
@@ -623,18 +622,39 @@ object Dedup {
       .select(col("h"))
   }
 
+  /** Line-level corpus dedup (the RefinedWeb / CCNet boilerplate pass,
+    * public method): a non-empty line occurring in >= `minDocs`
+    * DISTINCT documents is corpus boilerplate (nav menus, cookie
+    * banners, footers) and is removed from EVERY document; empty lines
+    * are structure and always kept. Returns
+    * (doc_id, text, n_removed) with lines rejoined in original order.
+    *
+    * Scale shape: document text never shuffles. Pass 1 ships only
+    * per-doc-distinct 8-byte line hashes into a map-side-combinable
+    * count; the surviving boilerplate set is bounded (its size is at
+    * most total_lines/minDocs and in practice the distinct boilerplate
+    * vocabulary — `maxBoilerplate` fails loudly if an adversarial
+    * corpus breaks that assumption) and broadcast into a second
+    * per-row kernel pass that filters lines in place — the same
+    * bounded-broadcast discipline as contaminationCheck's eval side.
+    */
   def lineDedup(docs: DataFrame, minDocs: Int = 3,
       maxBoilerplate: Int = 1 << 22): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val src = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
+    // ONE aggregation pass: limit(max+1) bounds driver memory exactly
+    // like a pre-count would, without paying the full count as a
+    // second scan+shuffle over the corpus; the collected array is the
+    // complete boilerplate set whenever the bound holds
     val freq = boilerplateLineHashes(docs, minDocs)
-    val nFreq = freq.count()
-    require(nFreq <= maxBoilerplate,
-      s"boilerplate set $nFreq exceeds bound $maxBoilerplate — raise minDocs")
+      .limit(maxBoilerplate + 1)
+      .as[Long].collect()
+    require(freq.length <= maxBoilerplate,
+      s"boilerplate set exceeds bound $maxBoilerplate — raise minDocs")
     val bc = spark.sparkContext.broadcast(
-      freq.as[Long].collect().foldLeft(new java.util.HashSet[java.lang.Long]()) {
+      freq.foldLeft(new java.util.HashSet[java.lang.Long]()) {
         (s, h) => s.add(h); s
       })
     src.map { case (id, text) =>

@@ -29,6 +29,11 @@ object DomainCap {
   def topNPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       n: Int): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
+    // withColumn silently REPLACES an existing column — refuse rather
+    // than clobber the caller's data (rank is the output contract;
+    // __salt/__rn are internal scratch)
+    Seq("__salt", "__rn", "rank").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
     val salted = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(order: _*)
     val exact = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__salt", spark_partition_id())

@@ -35,7 +35,10 @@ object Sharding {
     val spark = docs.sparkSession
     val rdd = docs
       // null weight ≡ 0, matching the SQL oracle's sum() which skips
-      // nulls in the running prefix (and Row.getLong would NPE)
+      // nulls in the running prefix (and Row.getLong would NPE); a
+      // null ID has no defined position in the shard order — dropped,
+      // with the oracle carrying the same `doc_id IS NOT NULL` filter
+      .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(weight).cast("long"), lit(0L)).as("w"))
       .orderBy(col("id"))

@@ -327,18 +327,24 @@ object StreamingOps {
     val work = java.nio.file.Files.createTempDirectory("graft-stream-inc")
     val (indexDir, textsDir, newDir, pairsDir, ckpt) =
       (s"$work/index", s"$work/texts", s"$work/new", s"$work/pairs", s"$work/ckpt")
-    // seed the persisted index tables with the history
+    // seed the persisted index tables with the history; every commit —
+    // seed and per-batch alike — is its OWN subdirectory written with
+    // mode=overwrite, keyed by batchId, so foreachBatch's documented
+    // at-least-once delivery is idempotent: a retried batch rewrites
+    // its subdirs byte-identically instead of double-appending pairs
+    // and double-committing bands (which would make the retry collide
+    // with its own first attempt). Readers glob the subdirs.
     val oldDocs = docs.where(!isNew)
     graft.ops.Dedup.lshBandIndex(oldDocs, numHashes = 64, bands = 32,
-      shingleSize = 3).write.parquet(indexDir)
-    oldDocs.write.parquet(textsDir)
+      shingleSize = 3).write.parquet(s"$indexDir/seed")
+    oldDocs.write.parquet(s"$textsDir/seed")
     // stage the incoming batches as separate files (one per trigger)
     docs.where(isNew)
       .repartition(nBatches, pmod(col("doc_id"), lit(nBatches)))
       .write.parquet(newDir)
-    // pairs sink must exist even if a batch emits nothing
+    // pairs sink must exist even if every batch emits nothing
     spark.emptyDataset[(Long, Long, Long)]
-      .toDF("id_a", "id_b", "jaccard_bp").write.parquet(pairsDir)
+      .toDF("id_a", "id_b", "jaccard_bp").write.parquet(s"$pairsDir/seed")
 
     val schema = docs.schema
     val q = spark.readStream.schema(schema)
@@ -346,24 +352,31 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val history = spark.read.parquet(indexDir)
-        val historyTexts = spark.read.parquet(textsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
+        // a RETRIED batch may have committed b<id> subdirs before its
+        // first attempt failed; excluding the batch's own ids from the
+        // history views makes the mining input identical on retry
+        // (and gives last-write-wins semantics for re-crawled ids)
+        val bIds = broadcast(b.select(col("doc_id")))
+        val history = spark.read.parquet(s"$indexDir/*")
+          .join(bIds, Seq("doc_id"), "left_anti")
+        val historyTexts = spark.read.parquet(s"$textsDir/*")
+          .join(bIds, Seq("doc_id"), "left_anti")
         graft.ops.Dedup.incrementalNearDupPairs(history, historyTexts, b,
             threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
-          .write.mode("append").parquet(pairsDir)
+          .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
         // commit this batch into the index tables — the next batch
         // mines against history + everything ingested before it
         graft.ops.Dedup.lshBandIndex(b, numHashes = 64, bands = 32,
-          shingleSize = 3).write.mode("append").parquet(indexDir)
-        b.write.mode("append").parquet(textsDir)
+          shingleSize = 3).write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+        b.write.mode("overwrite").parquet(s"$textsDir/b$batchId")
         b.unpersist()
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(pairsDir)
+    spark.read.parquet(s"$pairsDir/*")
   }
 }
