@@ -190,7 +190,14 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val candidates = newOld.union(newNew).distinct()
-    verifyJaccard(oldDocs.unionByName(newDocs), candidates, threshold, shingleSize)
+    // last-write-wins for ids on BOTH sides: the re-crawled version's
+    // text verifies; keeping both rows would fan every candidate pair
+    // touching that id into duplicate output rows through the verify
+    // join
+    val texts = oldDocs
+      .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .unionByName(newDocs)
+    verifyJaccard(texts, candidates, threshold, shingleSize)
   }
 
   /** Exact-jaccard verification of candidate id pairs. */

@@ -234,6 +234,20 @@ class OpsSpec extends AnyFunSuite {
     assert(inc.toSeq == full.toSeq)
   }
 
+  test("incrementalNearDupPairs: a re-crawled id on both sides yields no self-pair, no duplicate rows") {
+    val body = "the quick analytics engine processes large web corpus data with spark"
+    val oldDocs = Seq((1L, body), (2L, "totally different words here entirely unrelated")).toDF("doc_id", "text")
+    // doc 1 is RE-CRAWLED (same id, same content) plus a fresh near-dup doc 9
+    val newDocs = Seq((1L, body), (9L, body)).toDF("doc_id", "text")
+    val history = Dedup.lshBandIndex(oldDocs, 64, 32, 3)
+    val out = Dedup.incrementalNearDupPairs(history, oldDocs, newDocs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(!out.exists(p => p._1 == p._2), s"self-pair emitted: $out")
+    assert(out.distinct.length == out.length, s"duplicate rows: $out")
+    assert(out.map(p => (p._1, p._2)).contains((1L, 9L)), s"missing true pair: $out")
+  }
+
   test("lineDedup: cross-doc boilerplate lines removed, structure and unique lines kept") {
     val docs = Seq(
       (1L, "unique alpha\nCOMMON FOOTER\n\nbody one"),
