@@ -1006,6 +1006,83 @@ object SparkEntry {
       val media = s.read.parquet(s"$goldenDir/media_px.parquet")
         .select(col("id"), col("payload"))
       graft.ops.Multimodal.resizeImages(media, maxSide = 64).orderBy(col("id"))
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // host-graph centrality — the corpus-curation quality signal
+      // (Common-Crawl-style rankings weigh documents by link centrality
+      // of their source). Link graph synthesized deterministically from
+      // the tier (out-degree 1 + doc_id % 3, targets by the portable
+      // two-step MINSTD hash — no external data; both engines derive
+      // the same edge list). The OPERATOR is Graph.pageRank's integer
+      // fixed-point loop: 5 synchronous rounds, damping 85/100,
+      // per-edge floor contributions — BIGINT-exact, so the result is
+      // partitioning-independent and the oracle unrolls the same five
+      // rounds as chained CTEs (no float PageRank would hash-match)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded: one scalar sizes the target space
+      val p = lit(2147483647L)
+      val edges = docs.select(col("doc_id").as("u"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("u"), pmod(
+          pmod(pmod((col("u") * 53L + col("j") + 1L) * 48271L, p) * 48271L, p),
+          lit(n)).as("v"))
+      graft.ops.Graph.pageRank(docs.select(col("doc_id").as("id")),
+          edges, iterations = 5)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sketch_hll" -> ((s, dir) =>
+      // distinct-visitors cardinality sketch: HLL (b=5, m=32 registers,
+      // raw estimator) per event_type over the portable MINSTD hash,
+      // with an EXACT integer harmonic sum (each register contributes
+      // 2^(27-rho) as a BIGINT) so the estimate is bit-reproducible in
+      // DuckDB. The exact distinct count rides along as a column, so
+      // sketch accuracy (err_bp) is visible data, not a claim
+      graft.ops.Sketch.hllDistinct(t(s, dir, "events"),
+          "user_id", "event_type")
+        .orderBy(col("event_type"))),
+
+    "sketch_heavy" -> ((s, dir) =>
+      // exact heavy hitters without shuffling the token stream:
+      // per-partition space-saving kernels (k=200 counters) nominate
+      // candidates, an exact counting pass over ONLY the broadcast
+      // candidate set trims them to the true > N/200 tokens — output is
+      // partitioning-independent because candidates are a guaranteed
+      // superset and the final filter is exact
+      graft.ops.Sketch.heavyTokens(t(s, dir, "documents"), "text", k = 200)
+        .orderBy(col("cnt").desc, col("token"))),
+
+    "quantile_exact" -> ((s, dir) =>
+      // exact per-lang doc-length percentiles by the value-histogram
+      // trick: shuffle |distinct n_chars| partial counts, not |rows|,
+      // and no global sort. Quantile rule in pure integers (smallest v
+      // with den*cum >= num*n), identical on both engines
+      graft.ops.Sketch.exactQuantiles(t(s, dir, "documents"),
+          "n_chars", "lang",
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("lang"))),
+
+    "bloom_seen" -> ((s, dir) => {
+      // crawl-frontier seen-check: the batch (incremental tranche,
+      // doc_id % 5 == 0, plus re-crawled ids doc_id % 7 == 1) probes a
+      // broadcast Bloom sketch of the history (self-sized m = 8 bits
+      // per key) instead of joining 10^12 rows. actually_seen (the
+      // exact check) rides along so the oracle verifies the
+      // no-false-negative contract per row and false positives are
+      // visible data
+      val docs = t(s, dir, "documents")
+      val isNew = pmod(col("doc_id"), lit(5L)) === 0L
+      val history = docs.where(!isNew).select(col("doc_id"))
+      val batch = docs.where(isNew || pmod(col("doc_id"), lit(7L)) === 1L)
+        .select(col("doc_id"))
+      graft.ops.Sketch.bloomSeen(history, batch, "doc_id")
+        .join(history.select(col("doc_id"), lit(true).as("actually_seen")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("maybe_seen"),
+          coalesce(col("actually_seen"), lit(false)).as("actually_seen"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2015,6 +2092,133 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality_bp FROM analysis
         |WHERE doc_id < 2000 AND quality_bp >= 2000 AND lang_guess = 'en'
         |  AND doc_id NOT IN (SELECT DISTINCT id_b FROM exact_pairs)
+        |ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      // the same integer arithmetic, five rounds unrolled as chained
+      // CTEs (standard SQL forbids GROUP BY in a recursive term, so a
+      // fixed-iteration loop unrolls instead); every division is floor
+      // on non-negative values, matching Spark's `div`
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT d.doc_id AS id,
+           |    150000000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+           |  FROM documents d LEFT JOIN (
+           |    SELECT e.v AS id, sum(r.rank // od.outdeg) AS s
+           |    FROM edges e JOIN r${k - 1} r ON r.id = e.u
+           |    JOIN od ON od.u = e.u
+           |    GROUP BY e.v) c ON c.id = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT d.doc_id AS u,
+         |    (((((d.doc_id * 53 + j.j + 1) * 48271) % 2147483647)
+         |      * 48271) % 2147483647) % nn.n AS v
+         |  FROM documents d, nn, (SELECT unnest(range(0, 3)) AS j) j
+         |  WHERE j.j <= d.doc_id % 3),
+         |edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+         |od AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u),
+         |r0 AS (SELECT doc_id AS id, 1000000000 AS rank FROM documents),
+         |$iters
+         |SELECT id AS doc_id, rank::BIGINT AS rank FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "sketch_hll" ->
+      // registers and rho re-derived relationally: same MINSTD hash,
+      // rho from bin()-string length, EXACT integer harmonic sum
+      // (1 << (27-rho), empty registers contribute 2^27); the only
+      // float step is the final alpha*m^2*C / S — one correctly-rounded
+      // op chain from exact integers, spelled in the same order
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ((((user_id + 1) * 48271) % 2147483647) * 48271) % 2147483647 AS h
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, h % 32 AS reg,
+        |    CASE WHEN h // 32 = 0 THEN 27
+        |         ELSE 27 - length(bin(h // 32)) END AS rho
+        |  FROM h),
+        |mx AS (SELECT event_type, reg, max(rho) AS rho
+        |       FROM regs GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    sum(1::BIGINT << (27 - rho)) + (32 - count(*)) * 134217728 AS s
+        |  FROM mx GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    floor(0.697 * 1024 * 134217728.0 / s)::BIGINT AS est
+        |  FROM s),
+        |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact
+        |       FROM events GROUP BY 1)
+        |SELECT e.event_type, e.est, ex.exact,
+        |  (abs(e.est - ex.exact) * 10000) // ex.exact AS err_bp
+        |FROM est e JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "sketch_heavy" ->
+      // plain exact recomputation: every token with count*200 > total.
+      // The whitespace class is RE2's \s spelled explicitly (no \x0B),
+      // byte-identical to the kernel tokenizer
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT count(*) AS total FROM tk)
+        |SELECT token, count(*)::BIGINT AS cnt
+        |FROM tk, tot
+        |GROUP BY token, tot.total
+        |HAVING count(*) * 200 > tot.total
+        |ORDER BY cnt DESC, token""".stripMargin,
+
+    "quantile_exact" ->
+      // same histogram + integer quantile rule; ROWS frame matches the
+      // kernel's explicit rowsBetween
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist)
+        |SELECT lang,
+        |  min(CASE WHEN cum * 2 >= n * 1 THEN v END)::BIGINT AS p50,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS p90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN v END)::BIGINT AS p99
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "bloom_seen" ->
+      // the filter's distinct bit-position set rebuilt relationally
+      // (bit membership == position membership — no word packing
+      // needed); a candidate is maybe_seen iff ALL its distinct probe
+      // positions are present, exactly the kernel's 3-way AND
+      """WITH hist AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+        |mm AS (SELECT greatest(8 * count(*), 64) AS m FROM hist),
+        |hh AS (
+        |  SELECT ((((doc_id + 1) * 48271) % 2147483647) * 48271) % 2147483647 AS h1,
+        |         ((((doc_id + 1) * 69621) % 2147483647) * 69621) % 2147483647 AS h2
+        |  FROM hist),
+        |hp AS (
+        |  SELECT DISTINCT (h1 + i.i * (h2 - (h2 % 2) + 1)) % mm.m AS pos
+        |  FROM hh, mm, (SELECT unnest(range(0, 3)) AS i) i),
+        |bb AS (SELECT doc_id FROM documents
+        |       WHERE doc_id % 5 = 0 OR doc_id % 7 = 1),
+        |bh AS (
+        |  SELECT DISTINCT b.doc_id,
+        |    (h1 + i.i * (h2 - (h2 % 2) + 1)) % mm.m AS pos
+        |  FROM (SELECT doc_id,
+        |          ((((doc_id + 1) * 48271) % 2147483647) * 48271) % 2147483647 AS h1,
+        |          ((((doc_id + 1) * 69621) % 2147483647) * 69621) % 2147483647 AS h2
+        |        FROM bb) b, mm, (SELECT unnest(range(0, 3)) AS i) i),
+        |req AS (SELECT doc_id, count(*) AS need FROM bh GROUP BY 1),
+        |hit AS (SELECT bh.doc_id, count(*) AS got
+        |        FROM bh JOIN hp USING (pos) GROUP BY 1)
+        |SELECT b.doc_id,
+        |  coalesce(hit.got, 0) = req.need AS maybe_seen,
+        |  b.doc_id IN (SELECT doc_id FROM hist) AS actually_seen
+        |FROM bb b JOIN req USING (doc_id) LEFT JOIN hit USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl's host/page graph.
+  *
+  * Web-scale corpus curation weighs documents by graph centrality of
+  * their source (Common-Crawl-style rankings use harmonic centrality /
+  * PageRank over the host graph; the reference's crawl-discovery epic,
+  * /root/reference/research/epics/epic-001-web-crawling-discovery.md,
+  * covers the crawl side this signal would steer). This module provides
+  * the iterative rank loop as a reusable operator.
+  *
+  * DESIGN — integer fixed-point arithmetic, deliberately:
+  *  - every rank is a BIGINT in units of 1e-9 "mass"; per-edge
+  *    contribution is `rank div outdeg` (floor division), and the
+  *    damping step is `(15*SCALE) div 100 + (85*sum) div 100`. Integer
+  *    sums are associative and commutative, so the result is EXACTLY
+  *    partitioning-independent — a floating-point PageRank is not
+  *    reproducible across shuffle orders, which both breaks the
+  *    DuckDB-oracle hash check and makes 100 TB re-runs non-idempotent.
+  *  - dangling mass (nodes whose only hash-derived targets were
+  *    self-loops) is dropped, not redistributed — the classic
+  *    MapReduce-PageRank simplification; ranks then measure relative
+  *    link mass, not a normalized distribution. Documented, and spelled
+  *    identically in the oracle.
+  *
+  * SCALE: each round is one shuffle join (edges ⋈ ranks on src) plus
+  * one aggregation (sum by dst) with map-side partial combine; the edge
+  * set is computed once and localCheckpoint'd, and each round's rank
+  * frame is localCheckpoint'd too — the same lineage-truncation
+  * discipline as [[Dedup.connectedComponentsWithRounds]] (without it,
+  * Catalyst re-optimizes a plan tower that grows per round). At 10^12
+  * edges the join shuffles on the edge src key; skewed in-degree (hub
+  * hosts) affects only the reduce-side SUM, which AQE skew-split
+  * handles because partial aggregation has already collapsed each map
+  * partition's contributions to one row per (dst) key.
+  */
+object Graph {
+
+  /** Fixed-point rank scale: 1.0 of initial mass per node. */
+  val Scale = 1000000000L
+
+  /** Integer fixed-point PageRank with damping 0.85 over `iterations`
+    * synchronous rounds.
+    *
+    * @param nodes one column `id: long` — every ranked entity (isolated
+    *              nodes keep the base mass `0.15 * Scale`)
+    * @param edges columns `u: long, v: long` — directed links; self
+    *              loops and duplicate edges are dropped here, so the
+    *              caller's edge derivation need not dedupe
+    * @return `(id, rank)`, rank in fixed-point `Scale` units
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val base = (15L * Scale) / 100L
+    // canonical simple digraph + out-degrees, materialized once for all
+    // rounds (checkpoint: constant re-read, no per-round re-shuffle of
+    // the raw edge list)
+    val simple = edges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val withDeg = simple
+      .join(simple.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("id").cast("long").as("id"),
+      lit(Scale).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      // per-edge floor contribution, summed per destination; LEFT join
+      // back onto the full node set so sink-only and isolated nodes
+      // keep their base mass
+      val contrib = withDeg.join(ranks, withDeg("u") === ranks("id"))
+        .select(col("v").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col("id").cast("long").as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}
