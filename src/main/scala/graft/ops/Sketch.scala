@@ -229,10 +229,11 @@ object Sketch {
   }
 
   /** Crawl-frontier seen-check: flag which batch keys MAY already be in
-    * a (10^12-row) history without joining against it. The history
-    * collapses to its distinct Bloom bit positions — an aggregation
-    * bounded by m = 8·|H| bits regardless of row count, packed into an
-    * Array[Long] on the driver (≤ m/8 bytes; the sketch IS the small
+    * a large history without joining against it. The history collapses
+    * to 64-bit words of OR'd probe bits — a map-side-combinable
+    * `groupBy(word).agg(bit_or(mask))` whose output is bounded by m/64
+    * rows however many history rows there are — packed into an
+    * Array[Long] on the driver (m/8 bytes; the sketch IS the small
     * thing, that's its point) and broadcast as a literal. The batch
     * side then probes via pure codegen bit arithmetic: element_at on
     * the literal word array + shiftrightunsigned — no UDF, no shuffle,
@@ -242,17 +243,33 @@ object Sketch {
     * entirely; only `maybe` rows pay it. The driver query also emits
     * `actually_seen` (the exact join) so false positives are visible
     * and the no-false-negative invariant is oracle-checked per row.
+    *
+    * SCALE ENVELOPE — stated, not implied: the filter is 8 bits per
+    * history key, so it is one-machine-broadcastable up to histories of
+    * ~10^8–10^9 keys (0.1–1 GB) — the "recent crawl window" tier where
+    * a frontier check lives. A full 10^12-key history is 1 TB of bits
+    * and does not fit ANY single filter; at that scale the same
+    * construction shards by key-hash (each executor holds its shard's
+    * words; the batch exchanges once on the same key-hash and probes
+    * locally) — the per-shard build below is unchanged, which is why
+    * the word aggregation, not the driver packing, is the load-bearing
+    * step.
     */
   def bloomSeen(history: DataFrame, batch: DataFrame, keyCol: String): DataFrame = {
     val histN = history.count() // bounded: one scalar, sizes the filter
     val m = math.max(BloomBitsPerKey * histN, 64L)
     val nWords = ((m + 63) / 64).toInt
     val posCols = bloomPositions(col(keyCol), m)
-    val positions = history.select(
-        explode(array(posCols: _*)).as("pos")).distinct()
-      .collect().map(_.getLong(0)) // bounded by m bits by construction
+    // one row per SET WORD leaves the cluster (<= m/64, map-side
+    // combined) — never one per key or per probe position
+    val wordRows = history.select(
+        explode(array(posCols: _*)).as("pos"))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("mask"))
+      .collect()
     val words = new Array[Long](nWords)
-    positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    wordRows.foreach(r => words(r.getLong(0).toInt) |= r.getLong(1))
     val withPos = batch.select(col("*") +: typedLit(words.toSeq).as("_w") +:
       posCols.zipWithIndex.map { case (c, i) => c.as(s"_p$i") }: _*)
     val probe = (0 until BloomK).map { i =>

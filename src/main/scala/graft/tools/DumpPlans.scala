@@ -63,7 +63,35 @@ object DumpPlans {
     "shard_pack" -> ("Two-phase distributed prefix sum over ONE " +
       "range-partitioned sort (phase 2 reuses the sort's shuffle files " +
       "as a skipped stage); the un-partitioned-window spelling the SQL " +
-      "oracle uses would plan the whole corpus onto a single task."))
+      "oracle uses would plan the whole corpus onto a single task."),
+    "sketch_hll" -> ("The register build partial-aggregates map-side " +
+      "(partial_max of rho), so each partition contributes <= m rows per " +
+      "group to the exchange — the shuffle carries the SKETCH, never the " +
+      "event stream. The register table is itself the mergeable artifact: " +
+      "max over shards of it IS the union sketch."),
+    "sketch_heavy" -> ("Per-partition space-saving kernels nominate <= k " +
+      "candidates each (mapPartitions, no exchange); the exact counting " +
+      "pass meets them via BroadcastHashJoin and partial_count collapses " +
+      "survivors before the one exchange. The raw token stream is never " +
+      "shuffled, yet the output is the exact > N/k set."),
+    "quantile_exact" -> ("Value-histogram trick: the groupBy(group, v) " +
+      "partial-aggregates map-side, so the exchange carries |distinct " +
+      "values| partial counts, not |rows|; the per-group window then " +
+      "sorts only histogram rows. No rangepartitioning anywhere — the " +
+      "global-sort spelling this operator exists to avoid."),
+    "bloom_seen" -> ("The history collapses to 64-bit words of OR'd " +
+      "probe bits (map-side-combined bit_or, <= m/64 rows leave the " +
+      "cluster) packed into a broadcast word-array literal; the batch " +
+      "probe is a pure codegen projection (element_at + " +
+      "shiftrightunsigned) — no join operator touches the probe side, " +
+      "and the history is scanned exactly once. Scale envelope is " +
+      "stated in the Scaladoc: 8 bits/key broadcasts to ~10^9 keys; " +
+      "beyond that the same build shards by key-hash."),
+    "graph_pagerank" -> ("Each rank round is one shuffle join (edges x " +
+      "ranks on src) plus a map-side-combined contribution sum " +
+      "(partial_sum); per-round localCheckpoint truncates lineage so the " +
+      "iterative plan never re-optimizes a growing tower. Integer " +
+      "fixed-point arithmetic makes the result partitioning-independent."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

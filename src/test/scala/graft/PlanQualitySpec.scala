@@ -356,6 +356,63 @@ class PlanQualitySpec extends AnyFunSuite {
       s"phase-1 exchange must salt the domain key with the partition id:\n$plan")
   }
 
+  test("sketch_hll: register build keeps partial aggregation (the shuffle carries the sketch)") {
+    val plan = SparkEntry.queries("sketch_hll")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // map-side partial max collapses each partition to <= m rows per
+    // group BEFORE the exchange — without it the shuffle carries the
+    // raw event stream and the sketch buys nothing
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sketch_heavy: exact pass joins the candidate set by BROADCAST, counts map-side") {
+    val plan = SparkEntry.queries("sketch_heavy")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the <= k*parts candidate set must broadcast (never shuffle the
+    // exploded token stream to meet it), and the exact count must
+    // partial-aggregate before its exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("quantile_exact: histogram partial-aggregates; no global sort in the operator") {
+    // gate the OPERATOR, not the registered query — the query's final
+    // orderBy over <= |groups| result rows legitimately range-partitions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Sketch.exactQuantiles(docs, "n_chars", "lang",
+        Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+    // the whole point: |distinct v| histogram rows shuffle and sort
+    // per-group — a rangepartitioning exchange would mean Catalyst
+    // planned the global-sort spelling this operator exists to avoid
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("graph_pagerank: one round = edge join + map-side-combined contribution sum") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"))
+    val edges = docs.select(col("id").as("u"),
+      pmod(col("id") * 7L + 3L, lit(500L)).as("v"))
+    // plan the round body WITHOUT materializing (no localCheckpoint yet):
+    // contributions must partial-sum before their exchange, so at 10^12
+    // edges the per-round shuffle carries one row per (dst, mapper), not
+    // one per edge
+    val simple = edges.where(col("u") =!= col("v")).distinct()
+    val withDeg = simple.join(
+      simple.groupBy("u").agg(org.apache.spark.sql.functions.count(lit(1)).as("outdeg")), "u")
+    val ranks = docs.select(col("id"), lit(graft.ops.Graph.Scale).as("rank"))
+    val contrib = withDeg.join(ranks, withDeg("u") === ranks("id"))
+      .select(col("v").as("id"),
+        org.apache.spark.sql.functions.expr("rank div outdeg").as("c"))
+      .groupBy("id").agg(org.apache.spark.sql.functions.sum(col("c")).as("s"))
+    val plan = contrib.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)
