@@ -52,33 +52,45 @@ object Graph {
     *              caller's edge derivation need not dedupe
     * @return `(id, rank)`, rank in fixed-point `Scale` units
     */
+  /** One synchronous round's rank update, UN-materialized: per-edge
+    * floor contributions summed per destination (map-side partial
+    * combine), LEFT-joined back onto the full node set so sink-only and
+    * isolated nodes keep their base mass. Shared by [[pageRank]] (which
+    * checkpoints the result per round) and the PlanQualitySpec gate
+    * (which asserts on THIS plan — the gate cannot drift from the
+    * operator).
+    */
+  private[graft] def rankRound(ids: DataFrame, withDeg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val base = (15L * Scale) / 100L
+    val contrib = withDeg.join(ranks, withDeg("u") === ranks("id"))
+      .select(col("v").as("id"), expr("rank div outdeg").as("c"))
+      .groupBy("id").agg(sum(col("c")).as("s"))
+    ids.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val base = (15L * Scale) / 100L
+    // the caller's node frame is an arbitrary plan re-read every round
+    // (left-join target) — materialize it ONCE, like the edge set
+    val ids = nodes.select(col("id").cast("long").as("id"))
+      .localCheckpoint(true)
     // canonical simple digraph + out-degrees, materialized once for all
-    // rounds (checkpoint: constant re-read, no per-round re-shuffle of
-    // the raw edge list)
+    // rounds; `simple` is checkpointed BEFORE the self-join so the
+    // cast+filter+distinct shuffle runs once, not once per join side
     val simple = edges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
     val withDeg = simple
       .join(simple.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("id").cast("long").as("id"),
-      lit(Scale).as("rank"))
+    var ranks = ids.select(col("id"), lit(Scale).as("rank"))
     var i = 0
     while (i < iterations) {
-      // per-edge floor contribution, summed per destination; LEFT join
-      // back onto the full node set so sink-only and isolated nodes
-      // keep their base mass
-      val contrib = withDeg.join(ranks, withDeg("u") === ranks("id"))
-        .select(col("v").as("id"), expr("rank div outdeg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = nodes.select(col("id").cast("long").as("id"))
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      ranks = rankRound(ids, withDeg, ranks).localCheckpoint(true)
       i += 1
     }
     ranks

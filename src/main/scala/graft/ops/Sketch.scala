@@ -100,11 +100,14 @@ object Sketch {
 
   /** Space-saving (Metwally et al. 2005) over one partition's token
     * stream: k counters, evict-min on overflow. Tokenizes INSIDE the
-    * kernel — the raw token stream never materializes as rows.
+    * kernel — the raw token stream never materializes as rows. Emits
+    * candidate tokens as (token, 0) rows plus ONE (null, tokenCount)
+    * tally row, so the same pass also yields the exact global token
+    * total (summed downstream) without a second scan.
     */
-  private def spaceSaving(texts: Iterator[String], k: Int): Iterator[String] = {
+  private def spaceSaving(texts: Iterator[String], k: Int): Iterator[(String, Long)] = {
     val counts = new java.util.HashMap[String, Long](k * 2)
-    var minKey: String = null
+    var seen = 0L
     texts.foreach { t =>
       if (t != null) {
         var i = 0
@@ -114,6 +117,7 @@ object Sketch {
           val start = i
           while (i < n && !isWs(t.charAt(i))) i += 1
           if (i > start) {
+            seen += 1L
             val tok = t.substring(start, i)
             val cur = counts.get(tok)
             if (cur > 0L || counts.containsKey(tok)) counts.put(tok, cur + 1L)
@@ -135,7 +139,8 @@ object Sketch {
       }
     }
     import scala.jdk.CollectionConverters._
-    counts.keySet().iterator().asScala.toVector.iterator
+    counts.keySet().iterator().asScala.toVector.map((_, 0L)).iterator ++
+      Iterator((null: String, seen))
   }
 
   /** Exact heavy hitters: every whitespace token with global count
@@ -157,16 +162,23 @@ object Sketch {
   def heavyTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cands = docs.select(col(textCol)).as[String]
+    // ONE kernel pass yields both the candidate set and the exact
+    // global token total (tally rows summed) — checkpointed so the
+    // two derived frames below don't re-run the corpus scan each
+    val sketch = docs.select(col(textCol)).as[String]
       .mapPartitions(it => spaceSaving(it, k))
-      .toDF("token").distinct()
+      .toDF("token", "tally")
+      .localCheckpoint(true)
+    val cands = sketch.where(col("token").isNotNull)
+      .select(col("token")).distinct()
+    val total = sketch.where(col("token").isNull)
+      .agg(sum(col("tally")).as("total"))
     val toks = docs.select(
         explode(split(trim(col(textCol)), "[ \t\n\f\r]+")).as("token"))
       .where(col("token") =!= "")
     toks.join(broadcast(cands), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(
-        toks.agg(count(lit(1)).as("total")))) // 1-row total-token agg
+      .crossJoin(broadcast(total)) // 1-row exact total from the kernel pass
       .where(col("cnt") * lit(k.toLong) > col("total"))
       .select(col("token"), col("cnt"))
   }
@@ -270,13 +282,17 @@ object Sketch {
       .collect()
     val words = new Array[Long](nWords)
     wordRows.foreach(r => words(r.getLong(0).toInt) |= r.getLong(1))
-    val withPos = batch.select(col("*") +: typedLit(words.toSeq).as("_w") +:
-      posCols.zipWithIndex.map { case (c, i) => c.as(s"_p$i") }: _*)
+    val wCol = "_bloom_w"
+    val pCol = (i: Int) => s"_bloom_p$i"
+    val withPos = batch.select(col("*") +: typedLit(words.toSeq).as(wCol) +:
+      posCols.zipWithIndex.map { case (c, i) => c.as(pCol(i)) }: _*)
     val probe = (0 until BloomK).map { i =>
-      expr(s"pmod(shiftrightunsigned(element_at(_w, CAST(_p$i div 64 AS INT) + 1), " +
-        s"CAST(_p$i % 64 AS INT)), 2) = 1")
+      expr(s"pmod(shiftrightunsigned(element_at($wCol, CAST(${pCol(i)} div 64 AS INT) + 1), " +
+        s"CAST(${pCol(i)} % 64 AS INT)), 2) = 1")
     }.reduce(_ && _)
+    // helper columns dropped by the same BloomK-derived list that
+    // created them — a BloomK bump cannot leak a _bloom_pN column
     withPos.select(col("*"), probe.as("maybe_seen"))
-      .drop("_w", "_p0", "_p1", "_p2")
+      .drop(wCol +: (0 until BloomK).map(pCol): _*)
   }
 }

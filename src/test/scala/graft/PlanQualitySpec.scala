@@ -392,24 +392,22 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("graph_pagerank: one round = edge join + map-side-combined contribution sum") {
-    import org.apache.spark.sql.functions.{col, pmod, lit}
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.{col, pmod, lit, count}
+    val ids = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"))
-    val edges = docs.select(col("id").as("u"),
+    val edges = ids.select(col("id").as("u"),
       pmod(col("id") * 7L + 3L, lit(500L)).as("v"))
-    // plan the round body WITHOUT materializing (no localCheckpoint yet):
-    // contributions must partial-sum before their exchange, so at 10^12
-    // edges the per-round shuffle carries one row per (dst, mapper), not
-    // one per edge
     val simple = edges.where(col("u") =!= col("v")).distinct()
     val withDeg = simple.join(
-      simple.groupBy("u").agg(org.apache.spark.sql.functions.count(lit(1)).as("outdeg")), "u")
-    val ranks = docs.select(col("id"), lit(graft.ops.Graph.Scale).as("rank"))
-    val contrib = withDeg.join(ranks, withDeg("u") === ranks("id"))
-      .select(col("v").as("id"),
-        org.apache.spark.sql.functions.expr("rank div outdeg").as("c"))
-      .groupBy("id").agg(org.apache.spark.sql.functions.sum(col("c")).as("s"))
-    val plan = contrib.queryExecution.executedPlan.toString
+      simple.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
+    val ranks = ids.select(col("id"), lit(graft.ops.Graph.Scale).as("rank"))
+    // gate the operator's OWN round body (Graph.rankRound — the exact
+    // code pageRank checkpoints each round, so this cannot drift from
+    // the operator): contributions must partial-sum before their
+    // exchange, so at 10^12 edges the per-round shuffle carries one row
+    // per (dst, mapper), not one per edge
+    val plan = graft.ops.Graph.rankRound(ids, withDeg, ranks)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"), plan)
   }
 

@@ -50,7 +50,9 @@ class SketchGraphSpec extends AnyFunSuite {
   }
 
   test("pageRank: result is exactly partitioning-independent (integer sums)") {
-    val nodes = docs.select(col("doc_id").as("id")).limit(200)
+    // deterministic node subset (an unordered limit() could pick
+    // different rows across the two runs and fake a dependence bug)
+    val nodes = docs.select(col("doc_id").as("id")).where(col("id") < 200)
     val edges = nodes.select(col("id").as("u"), pmod(col("id") * 7L + 3L, lit(200L)).as("v"))
     val a = Graph.pageRank(nodes.repartition(1), edges.repartition(1), 3)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -100,10 +102,19 @@ class SketchGraphSpec extends AnyFunSuite {
   }
 
   test("heavyTokens: space-saving candidates survive an adversarial skew split") {
-    // one partition holds only filler, the other holds the heavy token:
-    // the pigeonhole guarantee must still nominate it
-    val rows = (1 to 400).map(i => s"filler$i unique$i") ++ (1 to 300).map(_ => "HEAVY")
-    val df = rows.toDF("text").repartition(2)
+    // EXPLICIT partition layout (repartition() would round-robin the
+    // heavy rows across both): partition 0 holds only unique filler —
+    // its k=10 counters churn constantly — and partition 1 holds ALL
+    // the heavy mass; the pigeonhole guarantee must still nominate it
+    val filler = (1 to 400).map(i => s"filler$i unique$i")
+    val heavy = (1 to 300).map(_ => "HEAVY")
+    val df = spark.createDataFrame(
+      spark.sparkContext.makeRDD(Seq(filler, heavy), 2)
+        .flatMap(_.iterator).map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(df.rdd.getNumPartitions == 2)
     val out = Sketch.heavyTokens(df, "text", k = 10)
       .collect().map(_.getString(0)).toSet
     assert(out == Set("HEAVY"))
