@@ -1083,7 +1083,16 @@ object SparkEntry {
         .select(col("doc_id"), col("maybe_seen"),
           coalesce(col("actually_seen"), lit(false)).as("actually_seen"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "sketch_cm" -> ((s, dir) =>
+      // per-user event-frequency estimation under a memory bound:
+      // Count-Min (d=3, self-sized w = 2·|users|) over the MINSTD
+      // hashes. The sketch is one-sided — est >= exact on every row
+      // (collisions only add) — so over_bp is both the oracle-checked
+      // accuracy record and a per-row proof of the CM invariant
+      graft.ops.Sketch.countMinFreq(t(s, dir, "events"), "user_id")
+        .orderBy(col("user_id")))
   )
 
   /** SQL fragments for PQ code derivation + ADC scoring, built from the
@@ -2219,6 +2228,30 @@ object SparkEntry {
         |  coalesce(hit.got, 0) = req.need AS maybe_seen,
         |  b.doc_id IN (SELECT doc_id FROM hist) AS actually_seen
         |FROM bb b JOIN req USING (doc_id) LEFT JOIN hit USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "sketch_cm" ->
+      // full relational recomputation: same MINSTD row hashes, same
+      // self-sized width, counters grouped per (row, bucket), estimate
+      // = min over rows — all BIGINT arithmetic, identical both engines
+      """WITH mult(j, m) AS (VALUES (0, 48271), (1, 69621), (2, 16807)),
+        |ww AS (SELECT greatest(64, 2 * count(DISTINCT user_id)) AS w
+        |       FROM events),
+        |hb AS (
+        |  SELECT e.user_id AS k, m.j,
+        |    (((((e.user_id + 1) * m.m) % 2147483647) * m.m) % 2147483647)
+        |      % ww.w AS bucket
+        |  FROM events e, mult m, ww),
+        |sk AS (SELECT j, bucket, count(*) AS c FROM hb GROUP BY 1, 2),
+        |pr AS (SELECT DISTINCT k, j, bucket FROM hb),
+        |est AS (SELECT pr.k, min(sk.c) AS est
+        |        FROM pr JOIN sk USING (j, bucket) GROUP BY pr.k),
+        |ex AS (SELECT user_id AS k, count(*) AS exact
+        |       FROM events GROUP BY 1)
+        |SELECT est.k AS user_id, est.est::BIGINT AS est,
+        |  ex.exact::BIGINT AS exact,
+        |  ((est.est - ex.exact) * 10000) // ex.exact AS over_bp
+        |FROM est JOIN ex USING (k)
+        |ORDER BY user_id""".stripMargin
   )
 }

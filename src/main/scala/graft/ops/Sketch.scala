@@ -217,6 +217,52 @@ object Sketch {
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  // ------------------------------------------------------- Count-Min
+
+  /** Count-Min depth (independent counter rows); the three classic
+    * MINSTD-family multipliers give the row hashes.
+    */
+  val CmMults: Seq[Long] = Seq(48271L, 69621L, 16807L)
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005):
+    * d = 3 rows of w counters, est(key) = min over rows of the key's
+    * counter. Structurally one-sided: est ≥ exact ALWAYS (collisions
+    * only add), which the driver query exposes per row as `over_bp`.
+    *
+    * Self-sizing (the lshSizing discipline): w = max(64, 2·|distinct
+    * keys|), so expected collision mass per counter stays proportional
+    * to the MEAN key frequency at any corpus size — a frozen w would
+    * degrade per-key relative error linearly with N.
+    *
+    * Relational build: one projection explodes each event into its d
+    * (row, bucket) cells, then `groupBy(j, bucket).count` — partial
+    * aggregation bounds every map partition's exchange contribution at
+    * d·w rows no matter how many events scan in; the d·w-row sketch
+    * then BROADCASTS to the probe side. The only key-cardinality
+    * shuffle is the exact per-key count — which is the comparison
+    * output itself, not the sketch path.
+    */
+  def countMinFreq(events: DataFrame, keyCol: String): DataFrame = {
+    val keys = events.select(col(keyCol).cast("long").as("k"))
+    val dCount = keys.distinct().count() // bounded: one scalar sizes w
+    val w = math.max(64L, 2L * dCount)
+    def cells(of: Column): Column = explode(array(
+      CmMults.zipWithIndex.map { case (m, j) =>
+        struct(lit(j).as("j"), pmod(hash31(of, m), lit(w)).as("bucket"))
+      }: _*))
+    val sketch = keys.select(cells(col("k")).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+    exact.select(col("k"), col("exact"), cells(col("k")).as("jb"))
+      .select(col("k"), col("exact"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("k", "exact").agg(min(col("c")).as("est"))
+      .select(col("k").as(keyCol), col("est"), col("exact"),
+        expr("((est - exact) * 10000) div exact").as("over_bp"))
+  }
+
   // ------------------------------------------------ Bloom seen-filter
 
   /** Number of Bloom probe positions per key. */

@@ -87,6 +87,12 @@ object DumpPlans {
       "and the history is scanned exactly once. Scale envelope is " +
       "stated in the Scaladoc: 8 bits/key broadcasts to ~10^9 keys; " +
       "beyond that the same build shards by key-hash."),
+    "sketch_cm" -> ("Count-Min build: the (row, bucket) counter " +
+      "aggregation partial-combines map-side, bounding every " +
+      "partition's exchange at d*w rows however many events scan in; " +
+      "the d*w-row sketch then BROADCASTS to the probe side. The only " +
+      "key-cardinality shuffle is the exact per-key count — the " +
+      "comparison output itself, not the sketch path."),
     "graph_pagerank" -> ("Each rank round is one shuffle join (edges x " +
       "ranks on src) plus a map-side-combined contribution sum " +
       "(partial_sum); per-round localCheckpoint truncates lineage so the " +

@@ -377,6 +377,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("sketch_cm: counter build partial-aggregates; the d*w sketch broadcasts to the probe") {
+    val plan = SparkEntry.queries("sketch_cm")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // map-side combine bounds each partition's exchange at d*w counter
+    // rows however many events scan in; the probe must meet the sketch
+    // by broadcast, never by shuffling events against it
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("quantile_exact: histogram partial-aggregates; no global sort in the operator") {
     // gate the OPERATOR, not the registered query — the query's final
     // orderBy over <= |groups| result rows legitimately range-partitions

@@ -150,6 +150,25 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- Count-Min
+
+  test("countMinFreq: one-sided (est >= exact on every key), exact counts true, deterministic") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = Sketch.countMinFreq(events, "user_id").collect()
+    assert(out.nonEmpty)
+    val truth = events.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { r =>
+      val k = r.getLong(0); val est = r.getLong(1); val exact = r.getLong(2)
+      assert(exact == truth(k))
+      assert(est >= exact, s"CM underestimated key $k: $est < $exact") // hard invariant
+    }
+    // integer counters + min: bit-reproducible across partitionings
+    val again = Sketch.countMinFreq(events.repartition(13), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getLong(1)))
+  }
+
   // ------------------------------------------------------------- bloom
 
   test("bloomSeen: zero false negatives; false-positive rate near the 3% design point") {
