@@ -1092,7 +1092,64 @@ object SparkEntry {
       // (collisions only add) — so over_bp is both the oracle-checked
       // accuracy record and a per-row proof of the CM invariant
       graft.ops.Sketch.countMinFreq(t(s, dir, "events"), "user_id")
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    "crawl_diff" -> ((s, dir) => {
+      // incremental-recrawl snapshot diff: two crawls of the same url
+      // space derived deterministically from the tier (old crawl = ids
+      // except %11==3, new crawl = ids except %13==5, every %7==2 page
+      // re-crawled with changed content). The OPERATOR reduces each
+      // side to 32-byte sha256 digests BEFORE the full-outer join, so
+      // the only exchange is digest-wide (plan-gated) — the
+      // 10^12-page "what changed since last crawl" primitive
+      val docs = t(s, dir, "documents")
+      val prevCrawl = docs.where(pmod(col("doc_id"), lit(11L)) =!= 3L)
+        .select(col("doc_id"), col("text"))
+      val currCrawl = docs.where(pmod(col("doc_id"), lit(13L)) =!= 5L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 2L,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.CrawlOps.snapshotDiff(prevCrawl, currCrawl)
+        .orderBy(col("doc_id"))
+    }),
+
+    "anchor_topk" -> ((s, dir) => {
+      // incoming anchor-text aggregation — the page's external
+      // description. Link graph: the graph_pagerank edge rule
+      // (out-degree 1 + doc_id % 3, targets by the portable two-step
+      // MINSTD hash); anchor = a deterministically-picked word of the
+      // SOURCE page's text, so anchors are real corpus strings both
+      // engines derive identically. Per target: in-degree, mentions,
+      // most frequent anchor (ties by anchor asc)
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // bounded: one scalar sizes the target space
+      val p = lit(2147483647L)
+      val links = docs.select(col("doc_id").as("u"),
+          split(trim(col("text")), "[ \t\n\f\r]+").as("tk"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("u"),
+          pmod(pmod(
+            pmod((col("u") * 53L + col("j") + 1L) * 48271L, p) * 48271L, p),
+            lit(n)).as("v"),
+          element_at(col("tk"),
+            (pmod(col("u") * 7L + col("j"), size(col("tk"))) + 1L)
+              .cast("int")).as("anchor"))
+        .where(col("u") =!= col("v"))
+      graft.ops.CrawlOps.anchorSummary(links).orderBy(col("doc_id"))
+    }),
+
+    "sample_stratified" -> ((s, dir) =>
+      // reproducible eval-set draw: k=20 docs per lang, winners = the
+      // k smallest portable-hash priorities — uniform pseudo-random
+      // yet engine- and partitioning-independent, no RNG. The kernel
+      // bounds the exchange at k·partitions candidates (the
+      // heavyTokens discipline); the oracle ranks the full table —
+      // equal because every global winner is a partition-local winner
+      graft.ops.CrawlOps.stratifiedSample(
+        t(s, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", "doc_id", k = 20)
+        .orderBy(col("lang"), col("rk")))
   )
 
   /** SQL fragments for PQ code derivation + ADC scoring, built from the
@@ -2252,6 +2309,79 @@ object SparkEntry {
         |  ex.exact::BIGINT AS exact,
         |  ((est.est - ex.exact) * 10000) // ex.exact AS over_bp
         |FROM est JOIN ex USING (k)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "crawl_diff" ->
+      // same snapshot derivations, digest compare re-spelled in SQL;
+      // sha256() and Spark's sha2(_, 256) both emit lowercase hex
+      // (parity established by format_envelopes / pii_redact)
+      """WITH prev AS (
+        |  SELECT doc_id, sha256(text) AS old_digest
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |curr AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 7 = 2 THEN text || ' v2'
+        |                ELSE text END) AS new_digest
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN p.old_digest = c.new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  p.old_digest, c.new_digest
+        |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "anchor_topk" ->
+      // the graph_pagerank edge CTE plus the same word-pick rule
+      // (1-based list index over the RE2 \s split, as sketch_heavy),
+      // then the three aggregates re-spelled relationally; row_number
+      // tie order (cnt DESC, anchor) is binary collation in both
+      // engines
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS tk
+        |  FROM documents),
+        |raw AS (
+        |  SELECT d.doc_id AS u,
+        |    (((((d.doc_id * 53 + j.j + 1) * 48271) % 2147483647)
+        |      * 48271) % 2147483647) % nn.n AS v,
+        |    t.tk[((d.doc_id * 7 + j.j) % len(t.tk)) + 1] AS anchor
+        |  FROM documents d JOIN tok t USING (doc_id), nn,
+        |    (SELECT unnest(range(0, 3)) AS j) j
+        |  WHERE j.j <= d.doc_id % 3),
+        |links AS (SELECT u, v, anchor FROM raw WHERE u <> v),
+        |per AS (SELECT v, anchor, count(*) AS cnt
+        |        FROM links GROUP BY 1, 2),
+        |top AS (SELECT v, anchor, cnt,
+        |          row_number() OVER (PARTITION BY v
+        |            ORDER BY cnt DESC, anchor) AS rn
+        |        FROM per),
+        |deg AS (SELECT v, count(DISTINCT u) AS in_degree
+        |        FROM links GROUP BY 1),
+        |men AS (SELECT v, count(*) AS mentions FROM links GROUP BY 1)
+        |SELECT deg.v AS doc_id, deg.in_degree, men.mentions,
+        |  top.anchor AS top_anchor, top.cnt AS top_cnt
+        |FROM deg JOIN men USING (v) JOIN top USING (v)
+        |WHERE top.rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      // rank the FULL table by the same MINSTD priority: the kernel's
+      // two-phase candidates are exactly the global k smallest per
+      // stratum, so a plain window over everything is the independent
+      // recomputation
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ((((doc_id + 1) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 AS pri
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY pri, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin
   )
 }

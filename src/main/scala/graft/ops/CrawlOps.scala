@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Crawl-corpus maintenance operators: incremental snapshot diffing,
+  * incoming-anchor-text aggregation, and deterministic stratified
+  * sampling.
+  *
+  * These are the jobs that run BETWEEN crawls of a living corpus
+  * (the reference's crawl-discovery epic,
+  * /root/reference/research/epics/epic-001-web-crawling-discovery.md,
+  * sketches the recrawl loop this tooling serves): decide what changed
+  * since the last snapshot, aggregate the link-anchor evidence that
+  * describes each page from the outside, and draw reproducible
+  * per-stratum samples for eval sets / manual audits.
+  *
+  * Shared scale discipline: document text never crosses an exchange.
+  * The diff shuffles 32-byte digests, the anchor summary shuffles
+  * pre-aggregated (target, anchor, count) rows, the sampler shuffles
+  * ≤ k·partitions candidate (stratum, key, hash) triples.
+  */
+object CrawlOps {
+
+  /** Snapshot diff between two crawls of the same url space: classifies
+    * every key as added / removed / changed / unchanged by content
+    * digest.
+    *
+    * The input frames carry full text, but each side is REDUCED to
+    * (key, sha256 digest) before the join, so the full-outer join — the
+    * only exchange — moves fixed-width rows. At 10^12 pages this is the
+    * standard incremental-recrawl primitive: both sides co-partition on
+    * the key and the diff costs one digest-wide shuffle, not a corpus
+    * rewrite. (With both snapshots stored bucketed by `keyCol` the
+    * exchange disappears entirely; the operator leaves that to the
+    * table layout.)
+    *
+    * Digest, not equality-on-text, deliberately: comparing text columns
+    * directly would ship document bodies to the join; comparing
+    * digests ships 32 bytes and is what a manifest table can persist
+    * between runs.
+    *
+    * @return (keyCol, status, old_digest, new_digest), digests hex
+    *         sha256 (null on the side where the key is absent)
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(keyCol),
+      sha2(col(textCol), 256).as("old_digest"))
+    val n = newSnap.select(col(keyCol),
+      sha2(col(textCol), 256).as("new_digest"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_digest"), col("new_digest"))
+  }
+
+  /** Incoming anchor-text summary per link target: in-degree (distinct
+    * sources), total mentions, and the most frequent anchor string
+    * (ties broken by anchor ascending — a total, engine-independent
+    * order).
+    *
+    * Anchor text is the classic external description of a page (search
+    * and quality pipelines weigh it above the page's own words). The
+    * input is one row per link (u, v, anchor); at web scale that table
+    * is ~10^13 rows, so the shapes matter:
+    *  - per-anchor counts: groupBy(v, anchor) with map-side partial
+    *    combine — the exchange carries aggregated counts, and anchor
+    *    vocabulary per target is small (people link with few phrases);
+    *  - top anchor: a keyed window over the ALREADY-AGGREGATED
+    *    (v, anchor, cnt) rows — never over raw links;
+    *  - in-degree: distinct (u, v) then count — the same width as the
+    *    edge list, the unavoidable cost of an exact distinct degree.
+    * All three aggregates share the join key v, so post-shuffle they
+    * co-partition and the final joins add no exchange under AQE.
+    *
+    * @param links columns `u: long, v: long, anchor: string`
+    * @return (doc_id = v, in_degree, mentions, top_anchor, top_cnt)
+    */
+  def anchorSummary(links: DataFrame): DataFrame = {
+    val perAnchor = links.groupBy(col("v"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("v"))
+      .orderBy(col("cnt").desc, col("anchor"))
+    val top = perAnchor
+      .select(col("v"), col("anchor"), col("cnt"),
+        row_number().over(win).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("v"), col("anchor").as("top_anchor"),
+        col("cnt").as("top_cnt"))
+    val deg = links.select(col("v"), col("u")).distinct()
+      .groupBy(col("v")).agg(count(lit(1)).as("in_degree"))
+    val mentions = links.groupBy(col("v"))
+      .agg(count(lit(1)).as("mentions"))
+    deg.join(mentions, Seq("v")).join(top, Seq("v"))
+      .select(col("v").as("doc_id"), col("in_degree"),
+        col("mentions"), col("top_anchor"), col("top_cnt"))
+  }
+
+  /** MINSTD double-step hash — the repo's portable integer hash (same
+    * arithmetic the LSH band keys, Bloom probes and PageRank targets
+    * use): a fixed pseudo-random priority both engines can recompute
+    * exactly in BIGINT.
+    */
+  private[graft] def priorityOf(key: Long): Long = {
+    val p = 2147483647L
+    (((key + 1L) * 48271L) % p) * 48271L % p
+  }
+
+  /** Per-partition bounded candidate pass for [[stratifiedSample]]:
+    * keeps the k smallest (priority, key) pairs per stratum in a
+    * size-capped max-heap — O(rows·log k) time, O(k·|strata|) memory,
+    * and ≤ k rows emitted per (partition, stratum).
+    */
+  private[graft] def partialSample(
+      it: Iterator[(String, Long)], k: Int): Iterator[(String, Long, Long)] = {
+    // max-heap on (priority, key): the root is the WORST kept candidate
+    val cmp = new java.util.Comparator[Array[Long]] {
+      def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(b(0), a(0))
+        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+      }
+    }
+    val heaps = new java.util.HashMap[String, java.util.PriorityQueue[Array[Long]]]()
+    while (it.hasNext) {
+      val (stratum, key) = it.next()
+      var h = heaps.get(stratum)
+      if (h == null) {
+        h = new java.util.PriorityQueue[Array[Long]](k + 1, cmp)
+        heaps.put(stratum, h)
+      }
+      val pri = priorityOf(key)
+      if (h.size < k) h.add(Array(pri, key))
+      else {
+        val worst = h.peek()
+        if (pri < worst(0) || (pri == worst(0) && key < worst(1))) {
+          h.poll(); h.add(Array(pri, key))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().iterator().asScala.flatMap { e =>
+      e.getValue.iterator().asScala.map(a => (e.getKey, a(1), a(0)))
+    }
+  }
+
+  /** Deterministic without-replacement sample of k keys per stratum:
+    * the k smallest portable-hash priorities win, so the draw is
+    * uniform-pseudo-random yet bit-reproducible across engines, runs
+    * and partitionings (no RNG, no seed plumbing) — the property an
+    * eval-set draw must have to be auditable.
+    *
+    * Two phases, the heavyTokens discipline: (1) per-partition capped
+    * heaps emit ≤ k candidates per (partition, stratum) — the global
+    * k smallest per stratum are each smallest in their own partition,
+    * so candidates ⊇ winners under every partitioning; (2) one keyed
+    * window ranks the ≤ k·partitions survivors. At 10^12 rows the
+    * exchange carries k·partitions fixed-width triples instead of the
+    * corpus — a raw row_number-over-everything would shuffle every row.
+    *
+    * @return (strataCol, keyCol, rk) with rk in 1..k by priority order
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = df
+      .select(col(strataCol).cast("string"), col(keyCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions(it => partialSample(it, k))
+      .toDF(strataCol, keyCol, "pri")
+    val win = Window.partitionBy(col(strataCol))
+      .orderBy(col("pri"), col(keyCol))
+    cands.select(col(strataCol), col(keyCol),
+        row_number().over(win).cast("long").as("rk"))
+      .where(col("rk") <= k)
+      .select(col(strataCol), col(keyCol), col("rk"))
+  }
+}

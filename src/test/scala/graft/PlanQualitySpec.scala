@@ -422,6 +422,93 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("crawl_diff: the full-outer join exchanges digests only, never text") {
+    // the incremental-recrawl premise: both snapshots reduce to (key,
+    // 32-byte sha256) BEFORE the join, so the diff of 10^12 pages
+    // shuffles fixed-width rows, not document bodies
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.ops.CrawlOps.snapshotDiff(
+          docs.where(pmod(col("doc_id"), lit(11L)) =!= 3L),
+          docs.where(pmod(col("doc_id"), lit(13L)) =!= 5L))
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("text")),
+          s"diff exchange carries text: ${e.output.map(_.name)}")
+      }
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("sample_stratified: kernel bounds the exchange; no text or raw rows shuffle") {
+    // phase 1 (mapPartitions capped heaps) must sit BELOW every
+    // exchange: only <= k*partitions (stratum, key, pri) candidate
+    // triples may shuffle into the ranking window — a window over the
+    // raw table would shuffle all 10^12 rows
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.ops.CrawlOps.stratifiedSample(
+          docs.select(col("lang"), col("doc_id")), "lang", "doc_id", 20)
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("MapPartitions"), planStr)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, planStr)
+      exchanges.foreach { e =>
+        // candidate triples (+ the window's rank output) only
+        assert(e.output.size <= 4 &&
+          !e.output.exists(_.name.toLowerCase.contains("text")),
+          s"sampler exchange too wide: ${e.output.map(_.name)}")
+        // every exchange consumes the kernel's output, not the scan:
+        // the kernel's SerializeFromObject must appear in its subtree
+        assert(e.toString.contains("SerializeFromObject"),
+          s"exchange below the sampling kernel:\n$e")
+      }
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("anchor_topk: anchors aggregate map-side; token arrays never shuffle") {
+    // the 10^13-link shape: the per-anchor count partial-combines
+    // before its exchange, the top-1 window runs over aggregated rows,
+    // and the source page's token array stays partition-local (AQE off
+    // so Exchange nodes are directly collectable)
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("anchor_topk")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("partial_count"), planStr)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, planStr)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(a => a.name == "tk" ||
+            a.name.toLowerCase.contains("text")),
+          s"anchor exchange carries tokens/text: ${e.output.map(_.name)}")
+      }
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

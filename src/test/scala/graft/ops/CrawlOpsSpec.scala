@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CrawlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("crawlops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("snapshotDiff: all four statuses, digest null on the absent side") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val curr = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = CrawlOps.snapshotDiff(prev, curr)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    assert(out(0).isNullAt(3) && !out(0).isNullAt(2)) // removed: new null
+    assert(out(3).isNullAt(2) && !out(3).isNullAt(3)) // added: old null
+    assert(out(1).getString(2) == out(1).getString(3)) // unchanged: equal
+    assert(out(2).getString(2) != out(2).getString(3)) // changed: differ
+  }
+
+  test("anchorSummary: top anchor by count, ties broken by anchor asc") {
+    val links = Seq(
+      (1L, 9L, "beta"), (2L, 9L, "beta"), (2L, 9L, "alpha"),
+      (3L, 9L, "alpha"), // 9: beta=2 alpha=2 -> tie -> alpha wins
+      (1L, 8L, "only"), (1L, 8L, "only") // 8: one distinct src, 2 mentions
+    ).toDF("u", "v", "anchor")
+    val out = CrawlOps.anchorSummary(links).orderBy("doc_id").collect()
+    val by = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(by(9L) == ((3L, 4L, "alpha", 2L)))
+    assert(by(8L) == ((1L, 2L, "only", 2L)))
+  }
+
+  test("stratifiedSample: partitioning-independent and equal to the global rank") {
+    val rows = (0L until 500L).map(i => (s"s${i % 3}", i)).toDF("lang", "doc_id")
+    val k = 7
+    def run(parts: Int) =
+      CrawlOps.stratifiedSample(rows.repartition(parts), "lang", "doc_id", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(1)
+    val b = run(13)
+    assert(a == b, "sample depends on partitioning")
+    // independent recomputation: global k smallest priorities per stratum
+    val expect = (0L until 500L).groupBy(i => s"s${i % 3}").flatMap {
+      case (s, ids) =>
+        ids.sortBy(i => (CrawlOps.priorityOf(i), i)).take(k).zipWithIndex
+          .map { case (i, r) => (s, i, (r + 1).toLong) }
+    }.toSet
+    assert(a == expect)
+  }
+
+  test("stratifiedSample: partial pass emits at most k candidates per stratum") {
+    val out = CrawlOps.partialSample(
+      (0L until 100L).iterator.map(i => ("x", i)), 5).toSeq
+    assert(out.size == 5)
+    assert(out.map(_._2).toSet.subsetOf((0L until 100L).toSet))
+  }
+}
