@@ -97,7 +97,24 @@ object DumpPlans {
       "ranks on src) plus a map-side-combined contribution sum " +
       "(partial_sum); per-round localCheckpoint truncates lineage so the " +
       "iterative plan never re-optimizes a growing tower. Integer " +
-      "fixed-point arithmetic makes the result partitioning-independent."))
+      "fixed-point arithmetic makes the result partitioning-independent."),
+    "crawl_diff" -> ("Both snapshots project to (key, sha256) BEFORE the " +
+      "full-outer join, so the only exchanges carry 32-byte digests — " +
+      "diffing 10^12 pages costs one fixed-width co-partitioned shuffle, " +
+      "never a document-body move. With both snapshots bucketed by key " +
+      "the exchange disappears entirely."),
+    "anchor_topk" -> ("Per-anchor counts partial-combine map-side " +
+      "(partial_count) and the top-1 window runs over the ALREADY " +
+      "aggregated (target, anchor, cnt) rows; Catalyst prunes the token " +
+      "array out of the degree/mentions branches (their scans read " +
+      "doc_id only). All three aggregates share the target key, so the " +
+      "final joins co-partition under AQE."),
+    "sample_stratified" -> ("The capped-heap kernel (mapPartitions) " +
+      "emits <= k candidates per (partition, stratum); every exchange " +
+      "sits ABOVE the kernel's SerializeFromObject, so only " +
+      "k*partitions fixed-width triples shuffle into the ranking " +
+      "window. The row_number-over-everything spelling the oracle uses " +
+      "would shuffle all 10^12 rows into per-stratum sorts."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
