@@ -1149,7 +1149,31 @@ object SparkEntry {
       graft.ops.CrawlOps.stratifiedSample(
         t(s, dir, "documents").select(col("lang"), col("doc_id")),
         "lang", "doc_id", k = 20)
-        .orderBy(col("lang"), col("rk")))
+        .orderBy(col("lang"), col("rk"))),
+
+    "dedup_prefix" -> ((s, dir) =>
+      // PPJoin-style LOSSLESS near-dup mining: prefix filtering on the
+      // rarest-first df order bounds candidates (12× fewer than the
+      // share-any-shingle join at this tier) while the output stays
+      // the exact J ≥ 1/2 pair set over FULL shingle sets — the
+      // df-capped dedup_jaccard's lossless sibling. Rational threshold,
+      // BIGINT cross-multiplication only; same doc subset as the other
+      // pair miners
+      graft.ops.Dedup.prefixJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 2000), 1, 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "quantile_hdr" -> ((s, dir) =>
+      // mergeable log-histogram quantiles (HDR bins, 8 sub-buckets per
+      // octave): the unbounded-domain complement of quantile_exact —
+      // the exchange carries ≤ ~8·60 bin counts per group however
+      // large the value domain, and per-shard histograms union by SUM.
+      // est ≤ exact always (bin lower bound); err_bp < 1250 by
+      // construction, oracle-checked per row alongside the exact values
+      graft.ops.Sketch.logHistQuantiles(t(s, dir, "documents"),
+          "n_chars", "lang",
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("lang")))
   )
 
   /** SQL fragments for PQ code derivation + ADC scoring, built from the
@@ -2382,6 +2406,79 @@ object SparkEntry {
         |          ORDER BY pri, doc_id) AS rk
         |      FROM h)
         |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
-        |ORDER BY lang, rk""".stripMargin
+        |ORDER BY lang, rk""".stripMargin,
+
+    "dedup_prefix" ->
+      // the SHARED exact-jaccard CTE chain (same shingle semantics as
+      // the minhash ground truth — it cannot drift from the kernel's
+      // proven spelling), with the threshold re-spelled as BIGINT
+      // cross-multiplication at 1/2 and jaccard_bp as integer floor
+      // division (exact_pairs from the shared chain is unused here)
+      (s"WITH $exactJaccardCte,\n" +
+      """pp AS (
+        |  SELECT id_a, id_b,
+        |    (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
+        |  FROM shared JOIN sizes sa ON sa.id = id_a
+        |    JOIN sizes sb ON sb.id = id_b
+        |  WHERE inter * 2 >= 1 * (sa.n + sb.n - inter))
+        |SELECT id_a, id_b, jaccard_bp FROM pp
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "quantile_hdr" ->
+      // same integer HDR binning (the bin()-string log2 trick from
+      // sketch_hll), lower bounds via << , the ceil(q·n) rule of
+      // quantile_exact on both the bin and the raw-value histograms,
+      // and the one-sided error in integer basis points
+      """WITH hist AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 8 THEN n_chars
+        |         ELSE (length(bin(n_chars)) - 4) * 8
+        |              + (n_chars >> (length(bin(n_chars)) - 4)) END AS b,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |lbs AS (
+        |  SELECT lang, b, c,
+        |    CASE WHEN b < 8 THEN b
+        |         ELSE ((b % 8) + 8) << ((b // 8) - 1) END AS lb
+        |  FROM hist),
+        |cum AS (
+        |  SELECT lang, lb,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM lbs),
+        |est AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 2 >= n * 1 THEN lb END)::BIGINT AS p50,
+        |    min(CASE WHEN cum * 10 >= n * 9 THEN lb END)::BIGINT AS p90,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN lb END)::BIGINT AS p99
+        |  FROM cum GROUP BY lang),
+        |vh AS (SELECT lang, n_chars AS v, count(*) AS c
+        |       FROM documents GROUP BY 1, 2),
+        |vcum AS (
+        |  SELECT lang, v,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM vh),
+        |ex AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 2 >= n * 1 THEN v END)::BIGINT AS p50_exact,
+        |    min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS p90_exact,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN v END)::BIGINT AS p99_exact
+        |  FROM vcum GROUP BY lang)
+        |SELECT e.lang, e.p50, ex.p50_exact, e.p90, ex.p90_exact,
+        |  e.p99, ex.p99_exact,
+        |  CASE WHEN ex.p50_exact = 0 THEN 0
+        |       ELSE ((ex.p50_exact - e.p50) * 10000) // ex.p50_exact
+        |  END AS p50_err_bp,
+        |  CASE WHEN ex.p90_exact = 0 THEN 0
+        |       ELSE ((ex.p90_exact - e.p90) * 10000) // ex.p90_exact
+        |  END AS p90_err_bp,
+        |  CASE WHEN ex.p99_exact = 0 THEN 0
+        |       ELSE ((ex.p99_exact - e.p99) * 10000) // ex.p99_exact
+        |  END AS p99_err_bp
+        |FROM est e JOIN ex USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -217,6 +217,75 @@ object Sketch {
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  /** Mergeable approximate quantiles over a log-scale (HDR-style)
+    * histogram: the complement of [[exactQuantiles]] for value domains
+    * where |distinct values| is itself huge (byte sizes, latencies in
+    * ns) and a per-value histogram would shuffle the domain.
+    *
+    * Bin rule, pure integers on both engines (3 mantissa bits = 8
+    * sub-buckets per octave, relative error < 2^-3):
+    *   v < 8          → bin = v                      (exact)
+    *   v ≥ 8, e=⌊log2 v⌋ → bin = (e-3)·8 + (v >> (e-3))
+    * with e spelled as length(bin(v)) - 1 — the binary-string trick
+    * sketch_hll already uses, identical in Spark and DuckDB. The bin's
+    * lower bound lb = ((bin%8)+8) << (bin/8 - 1) (lb = bin below 8) is
+    * the reported estimate, so est ≤ true quantile ALWAYS and
+    * (true-est)/true < 1/8 — a one-sided contract the driver query
+    * exposes per row as err_bp ∈ [0, 1250), alongside the exact value.
+    *
+    * SCALE: the exchange carries ≤ ~8·60 bin partial counts per group
+    * per partition regardless of the value domain, and the bin table
+    * is the mergeable artifact — per-shard histograms union by SUM,
+    * so a 1000-executor fleet ships kilobytes to agree on a p99.
+    *
+    * @param quantiles (name, num, den) triples, e.g. ("p99", 99, 100);
+    *   output columns per quantile: name (estimate), name_exact,
+    *   name_err_bp
+    */
+  def logHistQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .selectExpr(groupCol,
+        "CASE WHEN v < 8 THEN v ELSE (length(bin(v)) - 4) * 8 " +
+          "+ shiftright(v, cast(length(bin(v)) - 4 AS int)) END AS b")
+    val hist = binned.groupBy(col(groupCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .selectExpr(groupCol, "b", "c",
+        "CASE WHEN b < 8 THEN b " +
+          "ELSE shiftleft(b % 8 + 8, cast(b div 8 - 1 AS int)) END AS lb")
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col(groupCol), col("lb"),
+      sum(col("c")).over(win).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("n"))
+    val picks = quantiles.map { case (name, num, den) =>
+      // lb is strictly monotone in b, so min(lb | cum qualifies) is the
+      // lower bound of the first qualifying bin — the same integer
+      // ceil(q·n) rule exactQuantiles applies to raw values
+      min(when(col("cum") * lit(den.toLong) >= col("n") * lit(num.toLong),
+        col("lb"))).as(name)
+    }
+    val est = cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+    // accuracy is visible data, not a claim (the sketch_hll/sketch_cm
+    // discipline): the exact quantiles ride along with a one-sided
+    // relative-error column per quantile
+    val exact = exactQuantiles(df, valueCol, groupCol,
+      quantiles.map { case (name, nu, de) => (s"${name}_exact", nu, de) })
+    val joined = est.join(exact, groupCol)
+    val errCols = quantiles.map { case (name, _, _) =>
+      when(col(s"${name}_exact") === 0L, 0L)
+        .otherwise(expr(s"(($name" + s"_exact - $name) * 10000) div ${name}_exact"))
+        .as(s"${name}_err_bp")
+    }
+    val outCols = Seq(col(groupCol)) ++
+      quantiles.flatMap { case (name, _, _) =>
+        Seq(col(name), col(s"${name}_exact")) } ++ errCols
+    joined.select(outCols: _*)
+  }
+
   // ------------------------------------------------------- Count-Min
 
   /** Count-Min depth (independent counter rows); the three classic

@@ -509,6 +509,42 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile_hdr: bin counts partial-aggregate map-side; no global sort anywhere") {
+    // the sketch's scale premise: the exchange carries <= |bins| partial
+    // counts per (group, partition) — and quantiles never cost a
+    // rangepartitioning (the global-sort spelling this operator avoids)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Sketch.logHistQuantiles(docs, "n_chars", "lang",
+        Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("dedup_prefix: every exchange carries ids/hashes/counts only, never text") {
+    // prefix filtering's scale premise: the shingle kernel reduces text
+    // to 8-byte hashes BEFORE any exchange; df, ranking, candidate and
+    // verify joins all shuffle fixed-width rows
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.ops.Dedup.prefixJaccardPairs(docs, 1, 2)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("text")),
+          s"prefix-join exchange carries text: ${e.output.map(_.name)}")
+      }
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

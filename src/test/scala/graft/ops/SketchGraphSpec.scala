@@ -195,4 +195,70 @@ class SketchGraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"probe side must not join:\n$plan")
   }
+
+  test("logHistQuantiles: one-sided (est <= exact, relative err < 1/8) on real doc lengths") {
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val rows = Sketch.logHistQuantiles(docs, "n_chars", "lang", qs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      qs.foreach { case (name, _, _) =>
+        val est = r.getLong(r.fieldIndex(name))
+        val exact = r.getLong(r.fieldIndex(s"${name}_exact"))
+        val err = r.getLong(r.fieldIndex(s"${name}_err_bp"))
+        assert(est <= exact, s"$name: est $est > exact $exact")
+        assert(err >= 0 && err < 1250, s"$name err_bp=$err out of [0, 1250)")
+      }
+    }
+  }
+
+  test("logHistQuantiles: bin lower bound is exact below 8, within one octave-eighth above") {
+    // pin the bin rule itself on a crafted value set spanning octaves
+    val vals = Seq(0L, 1L, 7L, 8L, 9L, 15L, 16L, 31L, 100L, 1000L, 123456L)
+      .flatMap(v => Seq(("g", v)))
+    val df = spark.createDataFrame(vals).toDF("lang", "n_chars")
+    val r = Sketch.logHistQuantiles(df, "n_chars", "lang",
+      Seq(("p50", 1, 2))).collect()(0)
+    val est = r.getLong(r.fieldIndex("p50"))
+    val exact = r.getLong(r.fieldIndex("p50_exact"))
+    assert(exact == 15L) // 6th of 11 ordered values
+    assert(est == 15L)   // < 16 so the bin is exact-resolution
+  }
+
+  test("prefixJaccardPairs: equals the brute-force threshold pair set, any partitioning") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // J(1,2) = 3/5
+      (3L, "alpha beta gamma delta epsilon zeta"),  // dup of 1, J = 1
+      (4L, "one two three four five six seven"),
+      (5L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.prefixJaccardPairs(base.repartition(parts), 1, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = run(1)
+    assert(run(4) == out, "pair set depends on partitioning")
+    // brute force over the same shingle kernel
+    val sets = base.collect().map { r =>
+      r.getLong(0) -> Dedup.shingleHashes(r.getString(1), 3).toSet
+    }.toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if inter * 2 >= uni
+    } yield (a, b, inter.toLong * 10000L / uni)).toSet
+    assert(out == expect)
+    assert(out.exists { case (a, b, bp) => a == 1L && b == 3L && bp == 10000L })
+  }
+
+  test("prefixJaccardPairs: real-document run yields pairs and a 10000-bp self-consistency cap") {
+    val d = docs.where(col("doc_id") < 300)
+    val rows = Dedup.prefixJaccardPairs(d, 1, 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getLong(2)
+      assert(bp >= 5000L && bp <= 10000L, s"bp=$bp outside [t, 1]")
+    }
+  }
 }
