@@ -114,7 +114,21 @@ object DumpPlans {
       "sits ABOVE the kernel's SerializeFromObject, so only " +
       "k*partitions fixed-width triples shuffle into the ranking " +
       "window. The row_number-over-everything spelling the oracle uses " +
-      "would shuffle all 10^12 rows into per-stratum sorts."))
+      "would shuffle all 10^12 rows into per-stratum sorts."),
+    "dedup_prefix" -> ("The shingle kernel reduces text to 8-byte " +
+      "hashes before any exchange; df and within-doc ranking shuffle " +
+      "fixed-width (id, hash, count) rows, and the candidate self-join " +
+      "runs over PREFIX tokens only — hot shingles rank last in the " +
+      "ascending-df order and almost never enter a prefix, so fan-out " +
+      "concentrates on rare tokens (12x fewer candidates than " +
+      "share-any-shingle at the driver tier) while the verified output " +
+      "stays the exact threshold pair set."),
+    "quantile_hdr" -> ("The log-bin build partial-aggregates map-side, " +
+      "bounding every partition's exchange at ~8 bins/octave per group " +
+      "at ANY value-domain size — the per-value histogram " +
+      "quantile_exact ships would be unbounded on continuous domains. " +
+      "No rangepartitioning anywhere; the bin table is the mergeable " +
+      "artifact (per-shard histograms union by SUM)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
