@@ -1173,7 +1173,27 @@ object SparkEntry {
       graft.ops.Sketch.logHistQuantiles(t(s, dir, "documents"),
           "n_chars", "lang",
           Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    "search_lexical" -> ((s, dir) => {
+      // BM25-shaped keyword retrieval, the vector module's lexical
+      // complement. Query = the 8 RAREST distinct tokens of doc 0
+      // (rarity by corpus df, ties by token — deterministic and
+      // discriminative). Integer-only scoring: idf = 64 - bitlen(df),
+      // tf saturated at 3 — see Lexical.lexicalTopK. Only query-term
+      // tokens ever shuffle (broadcast semi-join before tf)
+      val docs = t(s, dir, "documents")
+      def toks(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "[ \t\n\f\r]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val q0 = toks(docs.where(col("doc_id") === 0L))
+        .select(col("tok")).distinct()
+      val dfq = toks(docs).join(broadcast(q0), "tok")
+        .groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+      val qterms = dfq.orderBy(col("df"), col("tok")).limit(8).select("tok")
+      graft.ops.Lexical.lexicalTopK(docs, qterms, k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    })
   )
 
   /** SQL fragments for PQ code derivation + ADC scoring, built from the
@@ -2479,6 +2499,31 @@ object SparkEntry {
         |       ELSE ((ex.p99_exact - e.p99) * 10000) // ex.p99_exact
         |  END AS p99_err_bp
         |FROM est e JOIN ex USING (lang)
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    "search_lexical" ->
+      // same tokenization (trim+lower over the RE2 \s class), same
+      // rarest-8 query derivation, and the integer scoring spelled
+      // with DuckDB's bin()/least(); sum(BIGINT) is HUGEINT there,
+      // cast back
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(lower(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM documents),
+        |tkc AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |q0 AS (SELECT DISTINCT tok FROM tkc WHERE doc_id = 0),
+        |dfq AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tkc
+        |  WHERE tok IN (SELECT tok FROM q0) GROUP BY tok),
+        |qt AS (SELECT tok, df FROM dfq ORDER BY df, tok LIMIT 8),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok, count(*) AS tf
+        |  FROM tkc t JOIN qt ON qt.tok = t.tok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(least(tf.tf, 3) * (64 - length(bin(qt.df)))) AS score
+        |  FROM tf JOIN qt USING (tok) GROUP BY 1)
+        |SELECT doc_id, score::BIGINT AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

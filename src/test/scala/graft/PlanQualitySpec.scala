@@ -545,6 +545,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("search_lexical: query terms broadcast before tf; ranking is TakeOrdered") {
+    // the query-time premise: the token stream filters against the
+    // BROADCAST query bag before any aggregation (only matching tokens
+    // shuffle), tf partial-combines, and the ranking never global-sorts
+    val plan = SparkEntry.queries("search_lexical")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("vector scoring stays inside WholeStageCodegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.1f)

@@ -854,4 +854,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(m => math.max(m.width, m.height) <= 256))
     assert(rows.exists(m => math.max(m.width, m.height) > 256))
   }
+
+  test("lexicalTopK: rarity weighting, tf saturation, deterministic tie order") {
+    val corpus = Seq(
+      (1L, "rare common common common"),
+      (2L, "common"),
+      (3L, "rare rare rare rare rare"), // tf 5 saturates to 3
+      (4L, "common other"),
+      (5L, "common filler")
+    ).toDF("doc_id", "text")
+    val q = Seq("rare", "common").toDF("tok")
+    val out = Lexical.lexicalTopK(corpus, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // df(rare)=2 -> w=62; df(common)=4 -> w=61
+    // doc1 = 1*62 + 3*61 = 245; doc3 = 3*62 = 186; docs 2/4/5 = 61
+    assert(out.toSeq == Seq((1L, 245L), (3L, 186L),
+      (2L, 61L), (4L, 61L), (5L, 61L)))
+  }
+
+  test("lexicalTopK: result independent of partitioning") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val q = Seq("the", "a", "of").toDF("tok")
+    def run(p: Int) = Lexical.lexicalTopK(d.repartition(p), q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) == run(7))
+  }
 }
