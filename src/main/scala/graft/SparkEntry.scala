@@ -1193,8 +1193,85 @@ object SparkEntry {
       val qterms = dfq.orderBy(col("df"), col("tok")).limit(8).select("tok")
       graft.ops.Lexical.lexicalTopK(docs, qterms, k = 10)
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    "index_build" -> ((s, dir) =>
+      // inverted-index construction (classic sort-based indexing):
+      // blocked delta-encoded postings, one row per (term, 128-posting
+      // block); df > 400 terms are stop-worded to a summary row. The
+      // oracle re-derives every block relationally (window + ordered
+      // string_agg)
+      graft.ops.Lexical.invertedIndex(t(s, dir, "documents"),
+          blockSize = 128, dfCap = 400)
+        .orderBy(col("tok"), col("block_id"))),
+
+    "lm_train" -> ((s, dir) =>
+      // distributed training of the char-bigram LM artifact that
+      // text_ppl consumes (CCNet trains its filter LM in-pipeline).
+      // Oracle = the committed artifact itself, an INDEPENDENT Python
+      // derivation over the same tier (tools/bigram_lm_expected.py) —
+      // the exact-integer floor here must land on Python's float
+      // floor for every count, a genuine dual derivation
+      graft.ops.TextAnalysis.trainBigramLm(t(s, dir, "documents"))
+        .orderBy(col("bigram"))),
+
+    "bpe_train" -> ((s, dir) => {
+      // distributed BPE tokenizer training (Sennrich 2016): ONE corpus
+      // pass builds the piece-freq table, then 48 bounded argmax
+      // rounds over it. Oracle = an INDEPENDENT Python trainer over
+      // the same tier (tools/bpe_train_expected.py →
+      // golden/bpe_train_sf001.parquet)
+      import s.implicits._
+      graft.text.Bpe.trainDistributed(t(s, dir, "documents"), numMerges = 48)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "lhs", "rhs").orderBy(col("rank"))
+    }),
+
+    "url_filter" -> ((s, dir) => {
+      // UT1-style blocklist gate (the filter webtext pipelines run
+      // BEFORE spending extraction compute). The corpus carries no
+      // urls, so the query PLANTS deterministic ones from doc_id
+      // (subdomain depth and section vary by residue) — both engines
+      // construct identical urls, so the oracle genuinely exercises
+      // the label-boundary suffix match, the section-prefix match, and
+      // the longest-entry winner rule
+      val sub = when(pmod(col("doc_id"), lit(4)) === 0, lit("ads."))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("cdn.static."))
+        .otherwise(lit(""))
+      val sec = when(pmod(col("doc_id"), lit(3)) === 0, lit("shop"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("blog"))
+        .otherwise(lit("news"))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), sub, lit("host-"),
+          pmod(col("doc_id"), lit(50)).cast("string"), lit(".example/"),
+          sec, lit("/item-"), col("doc_id").cast("string"), lit(".html"))
+          .as("url"))
+      import s.implicits._
+      val bl = urlBlocklist.toDF("entry", "category", "kind")
+      graft.ops.CrawlOps.urlFilter(urls, bl).orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic synthetic blocklist (UT1 shape: domain suffixes +
+    * host/section prefixes) — ONE definition feeds both the Spark
+    * DataFrame and the oracle's VALUES literal. host-21/host-11 carry
+    * deliberately OVERLAPPING entries so the longest-entry winner rule
+    * is exercised, not just membership.
+    */
+  private val urlBlocklist: Seq[(String, String, String)] = Seq(
+    ("host-7.example", "adult", "domain"),
+    ("host-13.example", "ads", "domain"),
+    ("host-3.example", "malware", "domain"),
+    ("host-21.example", "ads", "domain"),
+    ("static.host-21.example", "tracker", "domain"),
+    ("ads.host-49.example", "ads", "domain"),
+    ("host-11.example", "annoyance", "domain"),
+    ("host-11.example/shop", "commerce", "prefix"),
+    // reachability: cdn.static. requires doc_id ≡ 1 (mod 4) — odd —
+    // so the host residue must be odd too; 5 also satisfies sec=news
+    // (5 ≡ 2 mod 3), giving hits at doc_id ≡ 5 (mod 300)
+    ("cdn.static.host-5.example/news", "spam", "prefix"))
 
   /** SQL fragments for PQ code derivation + ADC scoring, built from the
     * committed codebook artifact (shared by ann_pq and ann_ivfpq; the
@@ -2524,6 +2601,91 @@ object SparkEntry {
         |    sum(least(tf.tf, 3) * (64 - length(bin(qt.df)))) AS score
         |  FROM tf JOIN qt USING (tok) GROUP BY 1)
         |SELECT doc_id, score::BIGINT AS score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "index_build" ->
+      // same tokenization as search_lexical; blocks re-derived with a
+      // window + ordered string_agg; sum/count widths cast to BIGINT
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(lower(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, doc_id, count(*)::BIGINT AS tf FROM tk
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT tok, doc_id, tf,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY tok) AS df,
+        |    lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id) AS prev
+        |  FROM tf),
+        |b AS (
+        |  SELECT tok, df::BIGINT AS df, ((rn - 1) // 128)::BIGINT AS block_id,
+        |    CASE WHEN (rn - 1) % 128 = 0 THEN doc_id
+        |         ELSE doc_id - prev END AS delta, tf, rn
+        |  FROM e WHERE df <= 400)
+        |SELECT tok, df, block_id, count(*)::BIGINT AS block_n,
+        |  string_agg(delta || ':' || tf, ',' ORDER BY rn) AS postings
+        |FROM b GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT tok, df::BIGINT AS df, -1::BIGINT AS block_id,
+        |  df::BIGINT AS block_n, NULL AS postings
+        |FROM (SELECT DISTINCT tok, df FROM e WHERE df > 400)
+        |ORDER BY tok, block_id""".stripMargin,
+
+    "lm_train" ->
+      // the committed artifact IS the oracle: an independent Python
+      // derivation (tools/bigram_lm_expected.py — float log2 floor)
+      // that the engine's exact-BigInteger floor must reproduce
+      s"""SELECT bigram, surprise_mb
+         |FROM read_parquet('$goldenDir/bigram_lm_sf001.parquet')
+         |ORDER BY bigram""".stripMargin,
+
+    "bpe_train" ->
+      // independent Python trainer over the same tier
+      // (tools/bpe_train_expected.py: own pretokenizer + merge loop)
+      s"""SELECT rank, lhs, rhs
+         |FROM read_parquet('$goldenDir/bpe_train_sf001.parquet')
+         |ORDER BY rank""".stripMargin,
+
+    "url_filter" ->
+      // same planted urls, same blocklist literals, match semantics
+      // spelled with LIKE suffix / string-equality prefix, winner via
+      // row_number on (length desc, entry, category)
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 4 WHEN 0 THEN 'ads.' WHEN 1 THEN 'cdn.static.'
+         |          ELSE '' END)
+         |      || 'host-' || (doc_id % 50) || '.example' AS host,
+         |    (CASE doc_id % 3 WHEN 0 THEN 'shop' WHEN 1 THEN 'blog'
+         |          ELSE 'news' END) AS sec
+         |  FROM documents),
+         |u2 AS (
+         |  SELECT doc_id,
+         |    'https://' || host || '/' || sec || '/item-' || doc_id
+         |      || '.html' AS url, host, sec
+         |  FROM u),
+         |bl(entry, category, kind) AS (VALUES $urlBlocklistValues),
+         |m AS (
+         |  SELECT u2.doc_id, bl.entry, bl.category FROM u2 JOIN bl ON
+         |    (bl.kind = 'domain' AND
+         |      (u2.host = bl.entry OR u2.host LIKE '%.' || bl.entry))
+         |    OR (bl.kind = 'prefix' AND u2.host || '/' || u2.sec = bl.entry)),
+         |w AS (
+         |  SELECT doc_id, entry, category, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY length(entry) DESC, entry, category) AS rn
+         |  FROM m)
+         |SELECT u2.doc_id, u2.url, w.entry IS NOT NULL AS blocked,
+         |  w.category, w.entry AS matched_entry
+         |FROM u2 LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)
+         |ORDER BY u2.doc_id""".stripMargin
   )
+
+  /** urlBlocklist as a SQL VALUES literal (entries are [a-z0-9.-/]
+    * only — no quoting hazards).
+    */
+  private def urlBlocklistValues: String =
+    urlBlocklist.map { case (e, c, k) => s"('$e', '$c', '$k')" }
+      .mkString(", ")
 }

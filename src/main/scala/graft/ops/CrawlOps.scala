@@ -181,4 +181,62 @@ object CrawlOps {
       .where(col("rk") <= k)
       .select(col(strataCol), col(keyCol), col("rk"))
   }
+
+  /** URL blocklist filter — the UT1/RefinedWeb-style gate every webtext
+    * pipeline runs before spending extraction compute. Two entry kinds
+    * (the shape of the public UT1 category lists):
+    *
+    *  - kind = "domain": blocks the host itself AND every subdomain
+    *    (label-boundary suffix match — "host-7.example" blocks
+    *    "ads.host-7.example" but NOT "xhost-7.example");
+    *  - kind = "prefix": blocks "host/first-path-segment" exactly
+    *    (section-level blocks: "host-11.example/shop").
+    *
+    * SCALE: never a regex/LIKE scan against the list. The host explodes
+    * into its label-boundary suffix chain (≤ a handful of labels), and
+    * both kinds resolve as EQUI-joins against the BROADCAST blocklist —
+    * per-row work is O(labels), independent of list size, and the fact
+    * side never shuffles. When several entries match, the winner is
+    * deterministic: longest entry (most specific), then entry, then
+    * category — picked with a map-side-combinable min(struct) agg, not
+    * a window.
+    *
+    * @param pages     frame with a `url` column (plus any carry-through
+    *                  key column(s) — output keeps `keyCol`)
+    * @param blocklist (entry, category, kind) — tiny, broadcast
+    * @return (keyCol, url, blocked, category, matched_entry)
+    */
+  def urlFilter(pages: DataFrame, blocklist: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    val hostRe = "^https?://([^/]+)"
+    val segRe = "^https?://[^/]+/([^/]*)"
+    val u = pages.select(col(keyCol), col("url"),
+      regexp_extract(col("url"), hostRe, 1).as("host"),
+      regexp_extract(col("url"), segRe, 1).as("seg1"))
+    val domains = blocklist.where(col("kind") === "domain")
+      .select(col("entry"), col("category"))
+    val prefixes = blocklist.where(col("kind") === "prefix")
+      .select(col("entry"), col("category"))
+    // host → its label-boundary suffix chain: "a.b.c" → a.b.c, b.c, c
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(
+      sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    val domainHits = u
+      .select(col(keyCol), explode(suffixes).as("entry"))
+      .join(broadcast(domains), "entry")
+    val prefixHits = u
+      .select(col(keyCol), concat(col("host"), lit("/"), col("seg1")).as("entry"))
+      .join(broadcast(prefixes), "entry")
+    val winner = domainHits.unionByName(prefixHits)
+      .groupBy(col(keyCol))
+      .agg(min(struct((-length(col("entry"))).as("neg_len"),
+        col("entry"), col("category"))).as("m"))
+      .select(col(keyCol), col("m.entry").as("matched_entry"),
+        col("m.category").as("category"))
+    u.join(winner, Seq(keyCol), "left")
+      .select(col(keyCol), col("url"),
+        col("matched_entry").isNotNull.as("blocked"),
+        col("category"), col("matched_entry"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical (keyword) retrieval — the classic complement to the RAG
@@ -59,5 +60,67 @@ object Lexical {
       .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Inverted-index CONSTRUCTION — the build-path complement of
+    * [[lexicalTopK]] (which is the query-time path that avoids
+    * materializing this). Classic sort-based indexing (the original
+    * MapReduce use case): (tok, doc) postings shuffle on tok, sort by
+    * doc_id inside each term, and serialize as BLOCKED delta-encoded
+    * runs:
+    *
+    *  - one output row per (tok, block) of ≤ `blockSize` postings —
+    *    a term's list is never one unbounded row/task output, and a
+    *    block is independently decodable (its first entry is an
+    *    absolute doc_id, the rest are gaps), the block-max /
+    *    skip-pointer layout real engines use;
+    *  - `postings` = "delta:tf,delta:tf,…" — gaps over ascending
+    *    doc_id, the standard compression-friendly form;
+    *  - terms with df > `dfCap` are STOP-WORDED: one block_id = -1
+    *    summary row with null postings. At web scale a stopword's list
+    *    is ~the whole corpus; emitting it serializes one reducer on
+    *    ~10^12 entries, and every real indexer caps or elides such
+    *    terms (searchers treat them as match-all).
+    *
+    * Exchanges: ONE hash exchange on tok (the window); the downstream
+    * (tok, block) aggregation reuses it (hash(tok) co-locates every
+    * (tok, block) group). The per-block string assembly walks arrays of
+    * ≤ blockSize elements.
+    */
+  def invertedIndex(docs: DataFrame, blockSize: Int = 128,
+      dfCap: Long = 100000): DataFrame = {
+    require(blockSize >= 1 && dfCap >= 1, s"blockSize=$blockSize dfCap=$dfCap")
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "[ \t\n\f\r]+")).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val byDoc = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val whole = Window.partitionBy(col("tok"))
+    val entries = tf
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("df", count(lit(1)).over(whole))
+      .withColumn("prev", lag(col("doc_id"), 1).over(byDoc))
+    val blocks = entries.where(col("df") <= dfCap)
+      .withColumn("block_id",
+        ((col("rn") - 1).cast("long") / lit(blockSize.toLong)).cast("long"))
+      .withColumn("delta",
+        when(pmod(col("rn") - 1, lit(blockSize)) === 0, col("doc_id"))
+          .otherwise(col("doc_id") - col("prev")))
+      .withColumn("entry", concat(col("delta").cast("string"), lit(":"),
+        col("tf").cast("string")))
+      .groupBy(col("tok"), col("df"), col("block_id"))
+      .agg(count(lit(1)).as("block_n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("entry")))),
+            x => x.getField("entry")), ",").as("postings"))
+    val stopworded = entries.where(col("df") > dfCap)
+      .groupBy(col("tok"), col("df"))
+      .agg(count(lit(1)).as("block_n"))
+      .select(col("tok"), col("df"), lit(-1L).as("block_id"),
+        col("block_n"), lit(null).cast("string").as("postings"))
+    blocks.select(col("tok"), col("df"), col("block_id"), col("block_n"),
+        col("postings"))
+      .unionByName(stopworded)
   }
 }

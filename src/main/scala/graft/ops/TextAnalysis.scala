@@ -322,6 +322,87 @@ object TextAnalysis {
     (nEmails, nIps, nIds, redacted)
   }
 
+  // ---------------- bigram LM training (the artifact producer) ----------------
+
+  /** floor(1000 · log2(a/b)) computed EXACTLY: the largest k with
+    * 2^k · b^1000 ≤ a^1000, found by BigInteger comparison around a
+    * double first guess. The double guess can be off by a ulp at a
+    * floor boundary; the integer comparison cannot — so the result is
+    * a pure function of (a, b), independent of libm, JIT, or platform.
+    * a^1000 for a ≈ 10^6 is a ~20k-bit BigInteger — microseconds, and
+    * this runs once per DISTINCT bigram (|alphabet|² bounded), never
+    * per row.
+    */
+  private[graft] def floorMillibitLog2(a: Long, b: Long): Long = {
+    require(a > 0 && b > 0, s"floorMillibitLog2($a, $b)")
+    val A = java.math.BigInteger.valueOf(a).pow(1000)
+    val B = java.math.BigInteger.valueOf(b).pow(1000)
+    def le(k: Long): Boolean = // 2^k · B ≤ A, k possibly negative
+      if (k >= 0) B.shiftLeft(k.toInt).compareTo(A) <= 0
+      else B.compareTo(A.shiftLeft((-k).toInt)) <= 0
+    var k = math.floor(
+      1000.0 * (math.log(a.toDouble) - math.log(b.toDouble)) / math.log(2.0)).toLong
+    while (!le(k)) k -= 1
+    while (le(k + 1)) k += 1
+    k
+  }
+
+  /** Distributed training of the char-bigram LM artifact that
+    * [[lmPerplexity]] consumes (CCNet trains the filter LM on the
+    * corpus it curates — Wenzek et al. 2020, public idea). Counting is
+    * one kernel pass with per-partition HashMap combine (only DISTINCT
+    * bigrams per partition ever shuffle — |alphabet|² bounded, so the
+    * exchange is KBs at any corpus size), then each model row gets
+    * `surprise_mb = floor(log2((N+V)/(c+1))·1000)` (add-one smoothing)
+    * via the exact integer floor above. The N/V totals come from one
+    * 1-row aggregate over the bounded counts table.
+    *
+    * Lowercasing is per-code-point simple mapping, like lmPerplexity
+    * (and like the independent Python derivation on this ASCII corpus —
+    * Python str.lower() is full case mapping, which diverges only on
+    * length-changing case pairs such as U+0130).
+    */
+  def trainBigramLm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(col("text")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach { text =>
+          val cps =
+            if (text == null) Array.emptyIntArray
+            else text.codePoints().map(Character.toLowerCase(_)).toArray
+          var i = 0
+          while (i + 1 < cps.length) {
+            m.merge(new String(cps, i, 2), 1L, _ + _)
+            i += 1
+          }
+        }
+        val out = new Array[(String, Long)](m.size)
+        val eit = m.entrySet().iterator()
+        var j = 0
+        while (eit.hasNext) {
+          val e = eit.next(); out(j) = (e.getKey, e.getValue); j += 1
+        }
+        out.iterator
+      }
+      .toDF("bigram", "c").groupBy(col("bigram"))
+      .agg(sum(col("c")).as("c"))
+      .persist()
+    val head = counts.agg(sum(col("c")), count(lit(1))).collect()(0)
+    val n = head.getLong(0) // total bigram occurrences
+    val v = head.getLong(1) // distinct bigrams
+    val model = counts.as[(String, Long)]
+      .map { case (b, c) => (b, floorMillibitLog2(n + v, c + 1)) }
+      .toDF("bigram", "surprise_mb")
+      .unionByName(Seq(("<OOV>", floorMillibitLog2(n + v, 1L)))
+        .toDF("bigram", "surprise_mb"))
+    val out = model.collect() // |alphabet|²+1 rows: the artifact itself
+    counts.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), model.schema)
+  }
+
   /** documents(doc_id, text, ...) → per-doc analysis columns. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

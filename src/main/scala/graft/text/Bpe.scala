@@ -135,6 +135,114 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Sequential in-rank-order merge application — the TRAINER's view of
+    * a word (train() applies exactly one merge globally per round, so
+    * replaying the merge list in rank order over the raw split
+    * reproduces the incremental state bit-for-bit).
+    */
+  private def applyMergesInOrder(piece: String,
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = symbolsOf(piece)
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      val (l, r) = merges(m)
+      var hit = false
+      var i = 0
+      while (!hit && i + 1 < syms.length) {
+        hit = syms(i) == l && syms(i + 1) == r
+        i += 1
+      }
+      if (hit) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+      m += 1
+    }
+    syms
+  }
+
+  /** DISTRIBUTED BPE training — [[train]]'s semantics (same greedy
+    * argmax, same (count desc, pair asc) tie-break, same minPairFreq
+    * early stop), restructured for a corpus that does not fit one
+    * machine:
+    *
+    *  1. ONE corpus pass builds the (piece, freq) table — pretokenize
+    *     kernel with per-partition HashMap combine, then a hash agg.
+    *     Zipf means distinct pieces ≪ corpus tokens; this table (not
+    *     the corpus) is what training iterates over, exactly the
+    *     word-frequency-dict shape of Sennrich et al. 2016.
+    *  2. Each round maps the CACHED piece table (replaying merges so
+    *     far — pure function of the broadcast merge list, so rounds
+    *     are partitioning-independent), partially combines pair counts
+    *     per partition, hash-aggregates, and collects ONE row: the
+    *     argmax pair. numMerges rounds = numMerges bounded-output jobs
+    *     over the piece table; document text is read once, ever.
+    *
+    * The result is the merges ARTIFACT (≤ numMerges rows) — driver-side
+    * by design, like the IVF/PQ quantizers.
+    */
+  def trainDistributed(docs: DataFrame, numMerges: Int,
+      minPairFreq: Long = 2): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieceFreq = docs.select(col("text")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach(t => pretokenize(t).foreach(p => m.merge(p, 1L, _ + _)))
+        val out = new Array[(String, Long)](m.size)
+        val eit = m.entrySet().iterator()
+        var j = 0
+        while (eit.hasNext) {
+          val e = eit.next(); out(j) = (e.getKey, e.getValue); j += 1
+        }
+        out.iterator
+      }
+      .toDF("piece", "freq").groupBy(col("piece"))
+      .agg(sum(col("freq")).as("freq"))
+      .as[(String, Long)]
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (merges.length < numMerges && !done) {
+        val sofar: IndexedSeq[(String, String)] = merges.toIndexedSeq
+        val top = pieceFreq
+          .mapPartitions { it =>
+            val m = new java.util.HashMap[(String, String), Long]()
+            it.foreach { case (piece, f) =>
+              val syms = applyMergesInOrder(piece, sofar)
+              var i = 0
+              while (i + 1 < syms.length) {
+                m.merge((syms(i), syms(i + 1)), f, _ + _)
+                i += 1
+              }
+            }
+            val out = new Array[(String, String, Long)](m.size)
+            val eit = m.entrySet().iterator()
+            var j = 0
+            while (eit.hasNext) {
+              val e = eit.next()
+              out(j) = (e.getKey._1, e.getKey._2, e.getValue); j += 1
+            }
+            out.iterator
+          }
+          .toDF("l", "r", "f").groupBy(col("l"), col("r"))
+          .agg(sum(col("f")).as("f"))
+          .orderBy(col("f").desc, col("l"), col("r"))
+          .limit(1).collect() // the argmax pair: 1 bounded row per round
+        if (top.isEmpty || top(0).getLong(2) < minPairFreq) done = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toSeq
+    } finally pieceFreq.unpersist()
+  }
+
   /** Greedy merge application: repeatedly merge the lowest-rank
     * adjacent pair present in `ranks` until none remains; returns the
     * token COUNT (the billing metric — the token strings themselves

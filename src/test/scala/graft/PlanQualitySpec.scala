@@ -545,6 +545,43 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("index_build exchanges carry posting columns only, never text") {
+    // sort-based indexing's scale premise: after the tokenize explode,
+    // only (tok, doc_id, tf/rn/df) rows move — document text must never
+    // cross an exchange on the way to the posting blocks
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.ops.Lexical.invertedIndex(docs, 128, 400)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name.toLowerCase.contains("text")),
+          s"exchange carries text: ${e.output.map(_.name).mkString(", ")}")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("url_filter resolves the blocklist via broadcast equi-joins, no LIKE scan") {
+    // per-row work must be O(host labels) equi-probes against the
+    // broadcast list — never a nested-loop/LIKE comparison per entry
+    val plan = SparkEntry.queries("url_filter")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("search_lexical: query terms broadcast before tf; ranking is TakeOrdered") {
     // the query-time premise: the token stream filters against the
     // BROADCAST query bag before any aggregation (only matching tokens

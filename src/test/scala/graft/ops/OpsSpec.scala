@@ -879,4 +879,86 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(1) == run(7))
   }
+
+  test("invertedIndex: gap encoding, block boundaries, stopwording") {
+    val corpus = Seq(
+      (10L, "a b"), (20L, "a"), (25L, "a a"),
+      (40L, "a b c"), (41L, "b b x")
+    ).toDF("doc_id", "text")
+    val out = Lexical.invertedIndex(corpus, blockSize = 2, dfCap = 3)
+      .orderBy(col("tok"), col("block_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      // 'a' df=4 > cap -> stopworded summary, no postings
+      ("a", 4L, -1L, 4L, null),
+      // 'b' df=3, blocks of 2: [abs 10, gap 30], new block restarts abs
+      ("b", 3L, 0L, 2L, "10:1,30:1"),
+      ("b", 3L, 1L, 1L, "41:2"), // tf 2 at doc 41
+      ("c", 1L, 0L, 1L, "40:1"),
+      ("x", 1L, 0L, 1L, "41:1")))
+  }
+
+  test("invertedIndex: result independent of partitioning") {
+    def run(p: Int) = Lexical.invertedIndex(
+        docs.select(col("doc_id"), col("text")).repartition(p), 4, 30)
+      .orderBy(col("tok"), col("block_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("urlFilter: label-boundary suffix, prefix match, longest-entry winner") {
+    val urls = Seq(
+      (1L, "https://ads.host-7.example/shop/x.html"),   // subdomain of entry
+      (2L, "https://xhost-7.example/blog/y.html"),      // NO label boundary
+      (3L, "https://host-7.example/a/b.html"),          // exact host
+      (4L, "https://deep.static.host-21.example/x/y"),  // 2 entries match
+      (5L, "https://host-11.example/shop/z"),           // prefix beats domain
+      (6L, "https://clean.example/a/b")                 // unlisted
+    ).toDF("doc_id", "url")
+    val bl = Seq(
+      ("host-7.example", "adult", "domain"),
+      ("host-21.example", "ads", "domain"),
+      ("static.host-21.example", "tracker", "domain"),
+      ("host-11.example", "annoyance", "domain"),
+      ("host-11.example/shop", "commerce", "prefix")
+    ).toDF("entry", "category", "kind")
+    val out = CrawlOps.urlFilter(urls, bl).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, true, "adult", "host-7.example"),
+      (2L, false, null, null),
+      (3L, true, "adult", "host-7.example"),
+      (4L, true, "tracker", "static.host-21.example"),
+      (5L, true, "commerce", "host-11.example/shop"),
+      (6L, false, null, null)))
+  }
+
+  test("floorMillibitLog2: exact integer floor of 1000*log2(a/b)") {
+    // powers of two are exact anchors
+    assert(TextAnalysis.floorMillibitLog2(1, 1) == 0L)
+    assert(TextAnalysis.floorMillibitLog2(2, 1) == 1000L)
+    assert(TextAnalysis.floorMillibitLog2(1024, 1) == 10000L)
+    assert(TextAnalysis.floorMillibitLog2(1, 2) == -1000L)
+    // general values: k <= 1000*log2(a/b) < k+1 (double check is sound
+    // away from boundaries; the implementation is exact AT them)
+    for ((a, b) <- Seq((148788L, 1L), (148788L, 70L), (3L, 7L), (999983L, 17L))) {
+      val k = TextAnalysis.floorMillibitLog2(a, b)
+      val x = 1000.0 * (math.log(a.toDouble) - math.log(b.toDouble)) / math.log(2.0)
+      assert(k <= x + 1e-6 && x < k + 1 + 1e-6, s"($a,$b) -> $k vs $x")
+    }
+  }
+
+  test("trainBigramLm reproduces the committed artifact (independent Python derivation)") {
+    val sf001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = TextAnalysis.trainBigramLm(sf001)
+      .orderBy(col("bigram")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.read
+      .parquet("/root/repo/src/test/resources/golden/bigram_lm_sf001.parquet")
+      .orderBy(col("bigram")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
 }

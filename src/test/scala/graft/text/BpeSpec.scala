@@ -64,4 +64,22 @@ class BpeSpec extends AnyFunSuite {
     assert(tokens >= pieces, s"pieces=$pieces tokens=$tokens")
     assert(tokens > pieces, s"expected long-tail words to split: pieces=$pieces tokens=$tokens")
   }
+
+  test("trainDistributed == single-machine train, independent of partitioning") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("bpe-train-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val texts = docs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    val local = Bpe.train(texts, numMerges = 24)
+    val dist1 = Bpe.trainDistributed(docs.repartition(1), numMerges = 24)
+    val dist7 = Bpe.trainDistributed(docs.repartition(7), numMerges = 24)
+    assert(dist1 == local)
+    assert(dist7 == local)
+  }
 }
