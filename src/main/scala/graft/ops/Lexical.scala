@@ -95,13 +95,18 @@ object Lexical {
       .where(col("tok") =!= "")
     val tf = toks.groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+    // df via an agg + equi-join, NOT a count-over-window: the window
+    // would sort EVERY term's postings — including the stopworded hot
+    // terms, which are precisely the lists whose single-partition sort
+    // is the skew bottleneck at corpus scale. This way df>cap terms
+    // are decided from the (tok, df) aggregate alone and never reach
+    // the sort.
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
-    val whole = Window.partitionBy(col("tok"))
-    val entries = tf
+    val entries = tf.join(dfs, "tok").where(col("df") <= dfCap)
       .withColumn("rn", row_number().over(byDoc))
-      .withColumn("df", count(lit(1)).over(whole))
       .withColumn("prev", lag(col("doc_id"), 1).over(byDoc))
-    val blocks = entries.where(col("df") <= dfCap)
+    val blocks = entries
       .withColumn("block_id",
         ((col("rn") - 1).cast("long") / lit(blockSize.toLong)).cast("long"))
       .withColumn("delta",
@@ -114,11 +119,9 @@ object Lexical {
         array_join(
           transform(array_sort(collect_list(struct(col("rn"), col("entry")))),
             x => x.getField("entry")), ",").as("postings"))
-    val stopworded = entries.where(col("df") > dfCap)
-      .groupBy(col("tok"), col("df"))
-      .agg(count(lit(1)).as("block_n"))
+    val stopworded = dfs.where(col("df") > dfCap)
       .select(col("tok"), col("df"), lit(-1L).as("block_id"),
-        col("block_n"), lit(null).cast("string").as("postings"))
+        col("df").as("block_n"), lit(null).cast("string").as("postings"))
     blocks.select(col("tok"), col("df"), col("block_id"), col("block_n"),
         col("postings"))
       .unionByName(stopworded)

@@ -128,7 +128,27 @@ object DumpPlans {
       "at ANY value-domain size — the per-value histogram " +
       "quantile_exact ships would be unbounded on continuous domains. " +
       "No rangepartitioning anywhere; the bin table is the mergeable " +
-      "artifact (per-shard histograms union by SUM)."))
+      "artifact (per-shard histograms union by SUM)."),
+    "search_lexical" -> ("Query-time lexical retrieval: the tiny query " +
+      "bag BROADCASTS and semi-joins the token stream BEFORE any " +
+      "aggregation, so only query-matching tokens ever shuffle; tf " +
+      "partial-combines map-side and the ranking is one " +
+      "TakeOrderedAndProject (per-partition heaps). A full-corpus tf " +
+      "table here would be the inverted index — that's index_build's " +
+      "job, not the query path's."),
+    "index_build" -> ("Sort-based indexing (the classic MapReduce " +
+      "shape): after the tokenize explode, exchanges carry only " +
+      "(tok, doc_id, tf/df) rows — text never shuffles. df comes from " +
+      "an agg + equi-join rather than a count-over-window, so " +
+      "stop-worded hot terms are decided from the aggregate alone and " +
+      "never reach the per-term sort (the skew killer: a stopword's " +
+      "posting sort at 10^12 docs would pin one reducer). Blocked " +
+      "postings bound every output row at blockSize entries."),
+    "url_filter" -> ("Per-row work is O(host labels): the suffix chain " +
+      "explodes to <= a handful of rows and both entry kinds resolve " +
+      "as BroadcastHashJoin equi-probes — no LIKE/regex scan of the " +
+      "list, no NestedLoop anywhere. The winner rule is a " +
+      "map-side-combinable min(struct) aggregate, not a window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
