@@ -1250,8 +1250,48 @@ object SparkEntry {
       import s.implicits._
       val bl = urlBlocklist.toDF("entry", "category", "kind")
       graft.ops.CrawlOps.urlFilter(urls, bl).orderBy(col("doc_id"))
+    }),
+
+    "robots_eval" -> ((s, dir) => {
+      // RFC 9309 robots evaluation (longest-match, allow wins ties,
+      // no-rule default allow) over the same planted url scheme as
+      // url_filter; the rule groups are deliberately adversarial
+      // (allow-under-disallow, equal-length tie, disallow-everything
+      // with a carve-out, unruled hosts)
+      val host = concat(lit("host-"),
+        pmod(col("doc_id"), lit(50)).cast("string"), lit(".example"))
+      val sec = when(pmod(col("doc_id"), lit(3)) === 0, lit("shop"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("blog"))
+        .otherwise(lit("news"))
+      val path = concat(lit("/"), sec, lit("/item-"),
+        col("doc_id").cast("string"), lit(".html"))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), host, path).as("url"),
+        host.as("host"), path.as("path"))
+      import s.implicits._
+      val rules = robotsRules.toDF("host", "kind", "prefix")
+      graft.ops.CrawlOps.robotsEval(urls, rules).orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic robots rule groups (RFC 9309 literal-prefix subset)
+    * — ONE definition feeds both the Spark DataFrame and the oracle's
+    * VALUES literal.
+    */
+  private val robotsRules: Seq[(String, String, String)] = Seq(
+    // disallow-everything with a carve-out: only /blog survives
+    ("host-4.example", "disallow", "/"),
+    ("host-4.example", "allow", "/blog"),
+    // plain section block
+    ("host-9.example", "disallow", "/shop"),
+    // allow-under-disallow: longer allow rescues /shop/item-1* only
+    ("host-14.example", "disallow", "/shop"),
+    ("host-14.example", "allow", "/shop/item-1"),
+    // equal-length tie on the SAME prefix: allow wins
+    ("host-19.example", "disallow", "/news"),
+    ("host-19.example", "allow", "/news"),
+    // redundant allow (default is allow anyway): exercises matched_kind
+    ("host-24.example", "allow", "/"))
 
   /** Deterministic synthetic blocklist (UT1 shape: domain suffixes +
     * host/section prefixes) — ONE definition feeds both the Spark
@@ -2679,8 +2719,35 @@ object SparkEntry {
          |SELECT u2.doc_id, u2.url, w.entry IS NOT NULL AS blocked,
          |  w.category, w.entry AS matched_entry
          |FROM u2 LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)
-         |ORDER BY u2.doc_id""".stripMargin
+         |ORDER BY u2.doc_id""".stripMargin,
+
+    "robots_eval" ->
+      // same planted urls and rule literals; longest-match winner via
+      // row_number (length desc, kind asc — 'allow' < 'disallow' makes
+      // the tie rule lexicographic), default allow on no match
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'host-' || (doc_id % 50) || '.example' AS host,
+         |    '/' || (CASE doc_id % 3 WHEN 0 THEN 'shop' WHEN 1 THEN 'blog'
+         |            ELSE 'news' END) || '/item-' || doc_id || '.html' AS path
+         |  FROM documents),
+         |r(host, kind, prefix) AS (VALUES $robotsRulesValues),
+         |m AS (
+         |  SELECT u.doc_id, r.kind, r.prefix,
+         |    row_number() OVER (PARTITION BY u.doc_id
+         |      ORDER BY length(r.prefix) DESC, r.kind, r.prefix) AS rn
+         |  FROM u JOIN r ON u.host = r.host
+         |  WHERE starts_with(u.path, r.prefix))
+         |SELECT u.doc_id, 'https://' || u.host || u.path AS url,
+         |  coalesce(m.kind = 'allow', TRUE) AS allowed,
+         |  m.kind AS matched_kind, m.prefix AS matched_prefix
+         |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin
   )
+
+  private def robotsRulesValues: String =
+    robotsRules.map { case (h, k, p) => s"('$h', '$k', '$p')" }
+      .mkString(", ")
 
   /** urlBlocklist as a SQL VALUES literal (entries are [a-z0-9.-/]
     * only — no quoting hazards).

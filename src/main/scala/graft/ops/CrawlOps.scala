@@ -239,4 +239,42 @@ object CrawlOps {
         col("matched_entry").isNotNull.as("blocked"),
         col("category"), col("matched_entry"))
   }
+
+  /** robots.txt evaluation (RFC 9309 core semantics, literal-prefix
+    * subset): a url is governed by the MOST SPECIFIC (longest) matching
+    * rule of its host's rule group; at equal length `allow` wins; with
+    * no matching rule the url is allowed. (The RFC's `*`/`$` wildcards
+    * are out of scope here and documented as such — the longest-match /
+    * allow-tie-break core is the part crawl pipelines disagree on.)
+    *
+    * SCALE: one equi-join on host. The rules side at web scale is
+    * millions of hosts × dozens of rules — NOT broadcast material, so
+    * the operator leaves the join strategy to the planner (AQE
+    * broadcasts it when tiny, co-partitions when not); the fact side
+    * shuffles at most once, on host. Rule matching is a prefix test per
+    * (url, host-rule) pair — bounded by the host's own rule count, the
+    * same fan-out the crawler's fetcher pays. The winner is a
+    * map-side-combinable min(struct) agg: (shorter-negated length,
+    * kind) sorts allow before disallow at equal length because
+    * 'allow' < 'disallow'.
+    *
+    * @param urls  (keyCol, url, host, path)
+    * @param rules (host, kind ∈ allow|disallow, prefix)
+    * @return (keyCol, url, allowed, matched_kind, matched_prefix)
+    */
+  def robotsEval(urls: DataFrame, rules: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    val hits = urls.select(col(keyCol), col("host"), col("path"))
+      .join(rules, "host")
+      .where(col("path").startsWith(col("prefix")))
+      .groupBy(col(keyCol))
+      .agg(min(struct((-length(col("prefix"))).as("neg_len"),
+        col("kind"), col("prefix"))).as("m"))
+      .select(col(keyCol), col("m.kind").as("matched_kind"),
+        col("m.prefix").as("matched_prefix"))
+    urls.join(hits, Seq(keyCol), "left")
+      .select(col(keyCol), col("url"),
+        coalesce(col("matched_kind") === "allow", lit(true)).as("allowed"),
+        col("matched_kind"), col("matched_prefix"))
+  }
 }

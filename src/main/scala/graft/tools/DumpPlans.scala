@@ -148,7 +148,14 @@ object DumpPlans {
       "explodes to <= a handful of rows and both entry kinds resolve " +
       "as BroadcastHashJoin equi-probes — no LIKE/regex scan of the " +
       "list, no NestedLoop anywhere. The winner rule is a " +
-      "map-side-combinable min(struct) aggregate, not a window."))
+      "map-side-combinable min(struct) aggregate, not a window."),
+    "robots_eval" -> ("ONE equi-join on host — the rules side is NOT " +
+      "assumed broadcastable (millions of hosts x dozens of rules at " +
+      "web scale; AQE broadcasts it when tiny, co-partitions when " +
+      "not). Longest-match winner is a map-side-combinable " +
+      "min(struct) aggregate keyed by doc, so the exchange above the " +
+      "join carries one row per (doc, partition), and the fact side " +
+      "shuffles at most once."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

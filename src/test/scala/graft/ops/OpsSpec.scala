@@ -935,6 +935,34 @@ class OpsSpec extends AnyFunSuite {
       (6L, false, null, null)))
   }
 
+  test("robotsEval: longest match wins, allow wins ties, no rule = allow") {
+    val urls = Seq(
+      (1L, "a.example", "/shop/x"),    // disallow / beats nothing else
+      (2L, "a.example", "/blog/y"),    // allow /blog (longer) rescues
+      (3L, "b.example", "/news/z"),    // equal-length tie: allow wins
+      (4L, "c.example", "/any/p"),     // unruled host: default allow
+      (5L, "a.example", "/blo"),       // prefix of the allow, NOT a match
+      (6L, "d.example", "/shop/q")     // ruled host, unmatched path
+    ).map { case (id, h, p) => (id, s"https://$h$p", h, p) }
+      .toDF("doc_id", "url", "host", "path")
+    val rules = Seq(
+      ("a.example", "disallow", "/"),
+      ("a.example", "allow", "/blog"),
+      ("b.example", "disallow", "/news"),
+      ("b.example", "allow", "/news"),
+      ("d.example", "disallow", "/private")
+    ).toDF("host", "kind", "prefix")
+    val out = CrawlOps.robotsEval(urls, rules).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, false, "disallow", "/"),
+      (2L, true, "allow", "/blog"),
+      (3L, true, "allow", "/news"),
+      (4L, true, null, null),
+      (5L, false, "disallow", "/"),
+      (6L, true, null, null)))
+  }
+
   test("floorMillibitLog2: exact integer floor of 1000*log2(a/b)") {
     // powers of two are exact anchors
     assert(TextAnalysis.floorMillibitLog2(1, 1) == 0L)
