@@ -917,6 +917,38 @@ object SparkEntry {
       graft.ops.TextAnalysis.gopher(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    "text_fix" -> ((s, dir) => {
+      // UTF-8-read-as-Latin-1 mojibake repair (the ftfy core case).
+      // The corpus is printable-ASCII by construction, so the query
+      // PLANTS the three regimes from doc_id: a mojibake suffix
+      // ("cafA-tilde-copyright" = UTF-8 'cafe-acute' read as Latin-1)
+      // that the strict re-decode repairs, a GENUINE Latin-1-range
+      // suffix (lone e-acute) that strict UTF-8 rejects and must leave
+      // untouched, and pure ASCII. Both engines build identical
+      // augmented text; the oracle applies the known inverse literal
+      // substitution. Adversarial cases (>U+00FF chars, double
+      // encoding, idempotence) live in the sbt spec.
+      val aug = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" caf" + mojiEacute)))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" caf" + cleanEacute)))
+        .otherwise(col("text"))
+      graft.ops.TextAnalysis.fixMojibakeDf(
+          t(s, dir, "documents").select(col("doc_id"), aug.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "quality_nb" -> ((s, dir) =>
+      // model-based quality classification (the fastText/DCLM-style
+      // filter stage): from-scratch multinomial Naive Bayes trained
+      // DISTRIBUTED on lang='en' vs rest, integer-millibit exact
+      // weights. Oracle = committed golden from an INDEPENDENT Python
+      // derivation (tools/nb_expected.py: float log2 scoring verified
+      // against an exact integer predicate) over the same tier
+      graft.ops.TextAnalysis.nbClassify(
+          t(s, dir, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     "pii_redact" -> ((s, dir) => {
       // the synthetic corpus carries no PII by construction, so the
       // query PLANTS deterministic PII (email/IPv4/SSN-shaped id) from
@@ -1273,6 +1305,13 @@ object SparkEntry {
       graft.ops.CrawlOps.robotsEval(urls, rules).orderBy(col("doc_id"))
     })
   )
+
+  /** U+00E9 (e-acute) and its UTF-8-read-as-Latin-1 mojibake form
+    * (bytes C3 A9 seen as chars U+00C3 U+00A9) — the planted pair for
+    * text_fix, escape-spelled to keep sources ASCII-clean.
+    */
+  private val cleanEacute = "\u00e9"
+  private val mojiEacute = "\u00c3\u00a9"
 
   /** Deterministic robots rule groups (RFC 9309 literal-prefix subset)
     * — ONE definition feeds both the Spark DataFrame and the oracle's
@@ -2114,6 +2153,34 @@ object SparkEntry {
         |FROM w LEFT JOIN agg a USING (doc_id) LEFT JOIN sym s USING (doc_id)
         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "text_fix" ->
+      // same planted suffixes (chr() spells the codepoints, keeping
+      // this source ASCII); the repair is the known inverse literal
+      // substitution — the general strict-re-decode kernel must agree
+      // with it on the planted corpus, and the genuine-Latin-1 branch
+      // (doc_id%3=1) must pass through untouched
+      """WITH c(moji, cln) AS (SELECT chr(195)||chr(169), chr(233)),
+        |p AS (SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN text || ' caf' || (SELECT moji FROM c)
+        |    WHEN 1 THEN text || ' caf' || (SELECT cln FROM c)
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN replace(text, (SELECT moji FROM c), (SELECT cln FROM c))
+        |    ELSE text END AS text,
+        |  doc_id % 3 = 0 AS was_fixed
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "quality_nb" ->
+      // committed golden from an INDEPENDENT Python derivation
+      // (tools/nb_expected.py: own tokenizer + float-log2 scoring,
+      // cross-checked there against an exact integer predicate)
+      s"""SELECT doc_id, score_mb, pred_pos, is_pos
+         |FROM read_parquet('$goldenDir/nb_sf001.parquet')
+         |ORDER BY doc_id""".stripMargin,
 
     "pii_redact" -> {
       val e = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -322,6 +322,56 @@ object TextAnalysis {
     (nEmails, nIps, nIds, redacted)
   }
 
+  // ---------------- encoding repair (mojibake) ----------------
+
+  /** UTF-8-read-as-Latin-1 mojibake repair (the ftfy core case, from
+    * the public construction): if every char of the string is ≤ U+00FF
+    * (i.e. it IS a byte sequence wearing Latin-1 glasses), re-encode it
+    * as Latin-1 and strictly re-decode as UTF-8. Accept the repair only
+    * when the strict decode succeeds AND changes the string — genuine
+    * Latin-1 text (a lone 'é') fails strict UTF-8 decoding and is left
+    * untouched, ASCII round-trips to itself and reports unfixed. One
+    * pass only: double-encoded mojibake would need a second application
+    * (callers can iterate to a fixpoint; the detector is idempotent).
+    */
+  def fixMojibake(text: String): (String, Boolean) = {
+    if (text == null || text.isEmpty) return (text, false)
+    var suspicious = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c > 0xFF) return (text, false) // not a Latin-1 reading
+      if (c >= 0x80) suspicious = true
+      i += 1
+    }
+    if (!suspicious) return (text, false) // pure ASCII: already valid
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (fixed == text) (text, false) else (fixed, true)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => (text, false)
+    }
+  }
+
+  /** (doc_id, text) → (doc_id, text, was_fixed) with mojibake repaired.
+    * Pure per-row kernel — parallelizes with the scan, no exchange.
+    */
+  def fixMojibakeDf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (fixed, was) = fixMojibake(t)
+        (id, fixed, was)
+      })
+      .toDF("doc_id", "text", "was_fixed")
+  }
+
   // ---------------- bigram LM training (the artifact producer) ----------------
 
   /** floor(1000 · log2(a/b)) computed EXACTLY: the largest k with
@@ -345,6 +395,104 @@ object TextAnalysis {
     while (!le(k)) k -= 1
     while (le(k + 1)) k += 1
     k
+  }
+
+  /** [[floorMillibitLog2]] over a rational with PRODUCT numerator and
+    * denominator (a1·a2)/(b1·b2) — the Naive-Bayes weight shape, where
+    * the products overflow Long at corpus scale.
+    */
+  private[graft] def floorMillibitLog2Rat(a1: Long, a2: Long,
+      b1: Long, b2: Long): Long = {
+    require(a1 > 0 && a2 > 0 && b1 > 0 && b2 > 0,
+      s"floorMillibitLog2Rat($a1,$a2,$b1,$b2)")
+    val A = java.math.BigInteger.valueOf(a1)
+      .multiply(java.math.BigInteger.valueOf(a2)).pow(1000)
+    val B = java.math.BigInteger.valueOf(b1)
+      .multiply(java.math.BigInteger.valueOf(b2)).pow(1000)
+    def le(k: Long): Boolean =
+      if (k >= 0) B.shiftLeft(k.toInt).compareTo(A) <= 0
+      else B.compareTo(A.shiftLeft((-k).toInt)) <= 0
+    var k = math.floor(1000.0 *
+      (math.log(a1.toDouble) + math.log(a2.toDouble) -
+        math.log(b1.toDouble) - math.log(b2.toDouble)) / math.log(2.0)).toLong
+    while (!le(k)) k -= 1
+    while (le(k + 1)) k += 1
+    k
+  }
+
+  // ---------------- Naive-Bayes quality classifier ----------------
+
+  /** Tokens + binary label, the shared front of the NB train/apply
+    * paths: (doc_id, is_pos, tok).
+    */
+  private def nbTokens(docs: DataFrame, isPos: Column): DataFrame =
+    docs.select(col("doc_id"), isPos.as("is_pos"),
+        explode(split(trim(lower(col("text"))), "[ \t\n\f\r]+")).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** Multinomial-NB per-token weights, trained DISTRIBUTED: one
+    * tokenize pass → per-token class counts (map-side combined), then
+    * each vocab row gets the integer millibit log-likelihood ratio
+    *   w_mb(t) = floor(1000·log2( (c1+1)(N0+V) / ((c0+1)(N1+V)) ))
+    * (add-one smoothing) via the exact BigInteger floor — the same
+    * libm-independence discipline as the bigram LM. The only collect is
+    * the 1-row (N1, N0, V) aggregate; the weight TABLE stays
+    * distributed (vocab-sized — at web scale that is millions of rows,
+    * which is exactly why it is a DataFrame, not a broadcast).
+    *
+    * @return (tok, c1, c0, w_mb)
+    */
+  def nbWeights(docs: DataFrame, isPos: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = nbTokens(docs, isPos)
+      .groupBy(col("tok"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("c0"))
+    val head = counts.agg(sum(col("c1")), sum(col("c0")), count(lit(1)))
+      .collect()(0)
+    val n1 = head.getLong(0); val n0 = head.getLong(1); val v = head.getLong(2)
+    counts.as[(String, Long, Long)]
+      .map { case (t, c1, c0) =>
+        (t, c1, c0, floorMillibitLog2Rat(c1 + 1, n0 + v, c0 + 1, n1 + v))
+      }
+      .toDF("tok", "c1", "c0", "w_mb")
+  }
+
+  /** The class prior in millibits: floor(1000·log2((D1+1)/(D0+1))) over
+    * labeled doc counts.
+    */
+  def nbPrior(docs: DataFrame, isPos: Column): Long = {
+    val head = docs.agg(
+      sum(when(isPos, 1L).otherwise(0L)),
+      sum(when(isPos, 0L).otherwise(1L))).collect()(0)
+    floorMillibitLog2(head.getLong(0) + 1, head.getLong(1) + 1)
+  }
+
+  /** Train-and-apply NB quality classification (the model-based filter
+    * stage of modern webtext pipelines — fastText/DCLM-style, here a
+    * from-scratch multinomial NB with integer-exact arithmetic so the
+    * scores are engine- and partitioning-independent).
+    *
+    * Apply path: tokens equi-join the weight table on tok (planner's
+    * choice of broadcast vs co-partition — the vocab side is NOT
+    * assumed small), per-doc weight sums partial-combine, zero-token
+    * docs keep the bare prior via the left join.
+    *
+    * @return (doc_id, score_mb, pred_pos, is_pos)
+    */
+  def nbClassify(docs: DataFrame, isPos: Column): DataFrame = {
+    val w = nbWeights(docs, isPos)
+    val prior = nbPrior(docs, isPos)
+    val sums = nbTokens(docs, isPos)
+      .join(w.select(col("tok"), col("w_mb")), "tok")
+      .groupBy(col("doc_id")).agg(sum(col("w_mb")).as("s"))
+    docs.select(col("doc_id"), isPos.as("is_pos"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("s"), lit(0L)) + lit(prior)).as("score_mb"),
+        (coalesce(col("s"), lit(0L)) + lit(prior) >= 0L).as("pred_pos"),
+        col("is_pos"))
   }
 
   /** Distributed training of the char-bigram LM artifact that

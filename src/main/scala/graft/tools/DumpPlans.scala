@@ -155,7 +155,14 @@ object DumpPlans {
       "not). Longest-match winner is a map-side-combinable " +
       "min(struct) aggregate keyed by doc, so the exchange above the " +
       "join carries one row per (doc, partition), and the fact side " +
-      "shuffles at most once."))
+      "shuffles at most once."),
+    "quality_nb" -> ("Train + apply in one plan: per-token class " +
+      "counts partial-combine map-side (vocab-bounded exchange), the " +
+      "weight table stays DISTRIBUTED (millions of rows at web scale " +
+      "— never collected or assumed broadcastable; the planner " +
+      "broadcasts only when it measures it tiny), and the per-doc " +
+      "score sum partial-combines again. The only collect is the " +
+      "1-row (N1, N0, V) aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

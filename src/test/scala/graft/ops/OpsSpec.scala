@@ -989,4 +989,74 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
   }
+
+  test("floorMillibitLog2Rat: agrees with single-ratio floor, survives overflow") {
+    // product form must equal the single-ratio floor when a2 = b2
+    for ((a, b) <- Seq((148788L, 70L), (3L, 7L), (2L, 1L), (999983L, 17L)))
+      assert(TextAnalysis.floorMillibitLog2Rat(a, 5L, b, 5L) ==
+        TextAnalysis.floorMillibitLog2(a, b))
+    // (a1*a2) overflows Long (2^62 * 2^62): exact answer is 1000*(62+62-0-0)
+    val big = 1L << 62
+    assert(TextAnalysis.floorMillibitLog2Rat(big, big, 1L, 1L) == 124000L)
+    // powers of two are exact anchors in product form too
+    assert(TextAnalysis.floorMillibitLog2Rat(8L, 4L, 2L, 1L) == 4000L)
+  }
+
+  test("fixMojibake: repairs UTF-8-as-Latin-1, leaves genuine Latin-1 and ASCII") {
+    import TextAnalysis.fixMojibake
+    val clean = "caf\u00e9 d\u00e9j\u00e0"
+    val moji = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    assert(moji != clean)
+    assert(fixMojibake(moji) == ((clean, true)))
+    // genuine Latin-1-range text: strict UTF-8 re-decode fails -> untouched
+    assert(fixMojibake("caf\u00e9") == (("caf\u00e9", false)))
+    // pure ASCII: untouched, reported unfixed
+    assert(fixMojibake("plain ascii") == (("plain ascii", false)))
+    // any char above U+00FF means it is NOT a Latin-1 reading
+    assert(fixMojibake("ok \u20ac here") == (("ok \u20ac here", false)))
+    // null/empty pass through
+    assert(fixMojibake("") == (("", false)))
+    assert(fixMojibake(null) == ((null, false)))
+    // double-encoded needs two applications; one pass is idempotent-safe
+    val dbl = new String(moji.getBytes("UTF-8"), "ISO-8859-1")
+    val (once, fixed1) = fixMojibake(dbl)
+    assert(fixed1 && once == moji)
+    assert(fixMojibake(once) == ((clean, true)))
+    // repaired output is a fixpoint
+    assert(fixMojibake(clean) == ((clean, false)))
+  }
+
+  test("nbClassify: scores match a hand NB computation; partitioning-independent") {
+    val docs = Seq(
+      (1L, "good good fine", true),
+      (2L, "bad bad awful", false),
+      (3L, "good bad", true),
+      (4L, "awful fine", false),
+      (5L, "good good good", true),
+      (6L, "", false) // zero tokens: bare prior
+    ).toDF("doc_id", "text", "en")
+    val out = TextAnalysis.nbClassify(docs, col("en"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // hand model: N1=8, N0=5, V=4, D1=3, D0=3
+    // c1: good=6, fine=1, bad=1, awful=0; c0: bad=2, awful=2, fine=1, good=0
+    def w(c1: Long, c0: Long) =
+      TextAnalysis.floorMillibitLog2Rat(c1 + 1, 5 + 4, c0 + 1, 8 + 4)
+    val prior = TextAnalysis.floorMillibitLog2(4, 4)
+    val wGood = w(6, 0); val wFine = w(1, 1); val wBad = w(1, 2); val wAwful = w(0, 2)
+    val expect = Seq(
+      (1L, prior + 2 * wGood + wFine),
+      (2L, prior + 2 * wBad + wAwful),
+      (3L, prior + wGood + wBad),
+      (4L, prior + wAwful + wFine),
+      (5L, prior + 3 * wGood),
+      (6L, prior))
+    assert(out.map(r => (r._1, r._2)).toSeq == expect)
+    assert(out.forall(r => r._3 == (r._2 >= 0)))
+    // partitioning independence (integer arithmetic, no float summation)
+    val rep = TextAnalysis.nbClassify(docs.repartition(7), col("en"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rep.toSeq == out.toSeq)
+  }
 }
