@@ -427,6 +427,20 @@ object SparkEntry {
           t(s, dir, "documents"), weight = "n_chars", budget = 50000L)
         .orderBy(col("doc_id"))),
 
+    "seq_pack" -> ((s, dir) =>
+      // LM-pretraining sequence packing (GPT-2 concat-and-chunk): the
+      // global BPE token stream (+ per-doc EOS) cut into 64-token
+      // training sequences via the two-phase prefix sum — the naive
+      // global window + per-token shuffle is a one-task trap at
+      // corpus scale; here only per-(doc, seq) partials shuffle. The
+      // positional checksum pins every token identity at every
+      // position; oracle = relational packing over an INDEPENDENT
+      // Python token-stream golden (tools/seq_tokens_expected.py)
+      graft.ops.SeqPack.packSequences(t(s, dir, "documents"),
+          graft.text.Bpe.fromFile(s"$goldenDir/bpe_merges.txt"),
+          seqLen = 64)
+        .orderBy(col("seq_id"))),
+
     "rag_mmr" -> ((s, dir) =>
       // MMR diversity re-rank over the brute top-20: 5 greedy picks by
       // bp-floored λ-relevance − (1−λ)-redundancy. Distributed work is
@@ -1768,6 +1782,23 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM documents WHERE doc_id IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
+
+    "seq_pack" ->
+      // relational concat-and-chunk over the independent Python token
+      // golden (tokens + per-doc EOS rows, portable 31-polynomial
+      // keys): the global row_number spelling is correct at oracle
+      // scale and is exactly the one-task trap the kernel's two-phase
+      // prefix sum exists to avoid
+      s"""WITH g AS (
+         |  SELECT doc_id, tok_key,
+         |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+         |  FROM read_parquet('$goldenDir/doc_tokens_sf001.parquet'))
+         |SELECT (gpos // 64)::BIGINT AS seq_id,
+         |  count(*)::BIGINT AS n_toks,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  sum((gpos % 64 + 1) * tok_key)::BIGINT AS checksum
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rag_mmr" ->
       // the greedy pick sequence reproduced with a recursive CTE: each

@@ -273,6 +273,50 @@ object Bpe {
     syms.size
   }
 
+  /** Post-merge BPE token SEQUENCE of one pretokenizer piece — the
+    * same greedy lowest-rank loop as [[applyCount]], returning the
+    * symbols instead of their count (spec pins
+    * applyTokens(p).length == applyCount(p)).
+    */
+  def applyTokens(piece: String,
+      ranks: java.util.HashMap[(String, String), Int]): Array[String] = {
+    val initial = symbolsOf(piece)
+    if (initial.length <= 1) return initial
+    val syms = new java.util.ArrayList[String](initial.length)
+    initial.foreach(syms.add)
+    var continue = true
+    while (continue && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j + 1 < syms.size) {
+        val r = ranks.getOrDefault((syms.get(j), syms.get(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) continue = false
+      else {
+        syms.set(bestAt, syms.get(bestAt) + syms.get(bestAt + 1))
+        syms.remove(bestAt + 1)
+      }
+    }
+    syms.toArray(new Array[String](syms.size))
+  }
+
+  /** Post-merge token stream of a whole text, with a piece-level memo
+    * cache (same Zipf argument and bound as [[countTokens]]'s).
+    */
+  def tokens(text: String, ranks: java.util.HashMap[(String, String), Int],
+      cache: java.util.HashMap[String, Array[String]]): Iterator[String] =
+    pretokenize(text).flatMap { p =>
+      var a = cache.get(p)
+      if (a == null) {
+        a = applyTokens(p, ranks)
+        if (cache.size < 262144) cache.put(p, a)
+      }
+      a.iterator
+    }
+
   /** Post-merge BPE token count of a whole text (sum over pretokenizer
     * pieces), with a piece-level memo cache.
     */

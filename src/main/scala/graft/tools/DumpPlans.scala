@@ -162,7 +162,16 @@ object DumpPlans {
       "— never collected or assumed broadcastable; the planner " +
       "broadcasts only when it measures it tiny), and the per-doc " +
       "score sum partial-combines again. The only collect is the " +
-      "1-row (N1, N0, V) aggregate."))
+      "1-row (N1, N0, V) aggregate."),
+    "seq_pack" -> ("Two-phase prefix sum over ONE range-partitioned " +
+      "sort (a deliberate RDD island, like shard_pack): phase 1 " +
+      "collects |partitions| longs, phase 2 re-tokenizes in place " +
+      "(recompute beats shuffling token strings) and folds " +
+      "per-(doc, seq) partials BEFORE the exchange — the hash " +
+      "aggregate above the ExistingRDD sees ~seqLen-fold fewer rows " +
+      "than tokens, and document text never leaves its scan task. " +
+      "The naive global-window-over-exploded-tokens spelling (the " +
+      "oracle's) is a one-task trap twice over."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

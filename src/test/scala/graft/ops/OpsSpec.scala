@@ -1059,4 +1059,54 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
     assert(rep.toSeq == out.toSeq)
   }
+
+  test("applyTokens: sequence matches applyCount's count on corpus pieces") {
+    val merges = graft.text.Bpe.fromFile(
+      "/root/repo/src/test/resources/golden/bpe_merges.txt")
+    val ranks = graft.text.Bpe.ranksOf(merges)
+    val pieces = Seq("the", " value", " aggregation", "window",
+      " 12345", "  ", "a", "", " spark-sql", "queryquery")
+    for (p <- pieces) {
+      val toks = graft.text.Bpe.applyTokens(p, ranks)
+      assert(toks.mkString == p, s"tokens must concatenate back to '$p'")
+      assert(toks.length == graft.text.Bpe.applyCount(p, ranks),
+        s"count/sequence drift on '$p'")
+    }
+  }
+
+  test("packSequences: hand case — boundaries, EOS, checksum; partition-independent") {
+    val merges = Seq.empty[(String, String)] // no merges: 1 token per char
+    // doc 1: "abc" -> a b c <eos>; doc 2: "de" -> d e <eos>; doc 3: "" -> <eos>
+    val docs = Seq((1L, "abc"), (2L, "de"), (3L, "")).toDF("doc_id", "text")
+    val out = SeqPack.packSequences(docs, merges, seqLen = 4)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def k(s: String) = SeqPack.tokKey(s)
+    val eos = k(SeqPack.EosToken)
+    // global stream: a b c EOS | d e EOS EOS  (8 tokens, 2 seqs of 4)
+    val seq0 = 1L * k("a") + 2L * k("b") + 3L * k("c") + 4L * eos
+    val seq1 = 1L * k("d") + 2L * k("e") + 3L * eos + 4L * eos
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1L, 1L, 1L, seq0),
+      (1L, 4L, 2L, 2L, 3L, seq1)))
+    val rep = SeqPack.packSequences(docs.repartition(5), merges, seqLen = 4)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rep.toSeq == out.toSeq)
+  }
+
+  test("packSequences: doc spanning a boundary splits; totals conserved") {
+    val docs = Seq((10L, "abcdef"), (11L, "gh")).toDF("doc_id", "text")
+    val out = SeqPack.packSequences(docs, Seq.empty, seqLen = 4)
+      .orderBy(col("seq_id")).collect()
+    // stream: a b c d | e f EOS g | h EOS -> seqs of 4, 4, 2
+    assert(out.map(_.getLong(1)).sum == 6 + 1 + 2 + 1) // all tokens land once
+    assert(out.length == 3)
+    val s1 = out(1)
+    assert(s1.getLong(2) == 2 && s1.getLong(3) == 10L && s1.getLong(4) == 11L)
+    val last = out(2)
+    assert(last.getLong(1) == 2L) // ragged tail kept, not padded
+  }
 }
