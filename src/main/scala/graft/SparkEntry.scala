@@ -427,6 +427,31 @@ object SparkEntry {
           t(s, dir, "documents"), weight = "n_chars", budget = 50000L)
         .orderBy(col("doc_id"))),
 
+    "html_links" -> ((s, dir) => {
+      // DOM-based out-link extraction (the link-graph producer). The
+      // corpus carries no HTML, so the query PLANTS identical pages in
+      // both engines from doc_id/lang/source/text — including two
+      // regex traps: an anchor inside a comment and an anchor-shaped
+      // string inside a <script> body, which the DOM parser must NOT
+      // emit (the oracle expects exactly the two real links per doc)
+      val j = pmod(col("doc_id"), lit(20L)).cast("string")
+      val k = pmod(col("doc_id"), lit(7L)).cast("string")
+      val m = pmod(col("doc_id"), lit(50L)).cast("string")
+      val url = concat(lit("https://src-"), j, lit(".example/p/"),
+        col("doc_id").cast("string"), lit(".html"))
+      val html = concat(
+        lit("<html><head><title>t</title><script>var x = '<a href=\"/fake\">no</a>';</script></head><body>"),
+        lit("<!-- <a href=\"/c\">out</a> -->"),
+        lit("<nav><a href=\"/s-"), k, lit("\">sec "), col("lang"),
+        lit("</a></nav><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"https://host-"), m, lit(".example/deep\">ext "),
+        col("source"), lit("</a></body></html>"))
+      graft.extract.Links.extractLinks(
+          t(s, dir, "documents")
+            .select(col("doc_id"), url.as("url"), html.as("html")))
+        .orderBy(col("doc_id"), col("link_idx"))
+    }),
+
     "seq_pack" -> ((s, dir) =>
       // LM-pretraining sequence packing (GPT-2 concat-and-chunk): the
       // global BPE token stream (+ per-doc EOS) cut into 64-token
@@ -1782,6 +1807,26 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM documents WHERE doc_id IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
+
+    "html_links" ->
+      // the oracle does NOT parse: it reconstructs the two planted
+      // links per doc from the same construction rule — any extra row
+      // (comment trap, script trap) or missing/mangled anchor turns
+      // the hash red
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    doc_id % 20 AS j, doc_id % 7 AS k, doc_id % 50 AS m
+        |  FROM documents)
+        |SELECT doc_id, 0::BIGINT AS link_idx,
+        |  '/s-' || k AS href, 'sec ' || lang AS anchor,
+        |  'src-' || j || '.example' AS dst_host
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT,
+        |  'https://host-' || m || '.example/deep', 'ext ' || source,
+        |  'host-' || m || '.example'
+        |FROM d
+        |ORDER BY doc_id, link_idx""".stripMargin,
 
     "seq_pack" ->
       // relational concat-and-chunk over the independent Python token

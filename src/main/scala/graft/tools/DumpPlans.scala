@@ -171,7 +171,13 @@ object DumpPlans {
       "aggregate above the ExistingRDD sees ~seqLen-fold fewer rows " +
       "than tokens, and document text never leaves its scan task. " +
       "The naive global-window-over-exploded-tokens spelling (the " +
-      "oracle's) is a one-task trap twice over."))
+      "oracle's) is a one-task trap twice over."),
+    "html_links" -> ("Pure per-row kernel above the scan: one pooled " +
+      "arena-parser instance per partition (no per-row parser " +
+      "allocation — the north rule's pooled-tokenizer discipline), " +
+      "no exchange anywhere; output rows are fixed-width link " +
+      "tuples, never the page body. Feeds anchor_topk / " +
+      "graph_pagerank / the crawl frontier."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
