@@ -427,6 +427,16 @@ object SparkEntry {
           t(s, dir, "documents"), weight = "n_chars", budget = 50000L)
         .orderBy(col("doc_id"))),
 
+    "cdx_build" -> ((s, dir) =>
+      // CDX index construction + point-read verification (the Common
+      // Crawl cdx artifact: what makes a 100 TB .warc.gz archive
+      // random-accessible). Every member's (offset, length) is proven
+      // by re-parsing ONLY that byte slice; digests of the point-read
+      // payloads must equal sha-256 recomputed from the source table
+      graft.sources.Warc.cdxIndex(t(s, dir, "documents"),
+          recordsPerFile = 16)
+        .orderBy(col("doc_id"))),
+
     "html_links" -> ((s, dir) => {
       // DOM-based out-link extraction (the link-graph producer). The
       // corpus carries no HTML, so the query PLANTS identical pages in
@@ -1807,6 +1817,18 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM documents WHERE doc_id IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
+
+    "cdx_build" ->
+      // offsets are compression-internal and never cross engines;
+      // what crosses is their CORRECTNESS: digest must equal sha-256
+      // of the source text (only reachable through a good point read)
+      // and both flags must be true for every record
+      """SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
+        |    - 1 AS member_seq,
+        |  sha256(text) AS digest,
+        |  TRUE AS uri_ok, TRUE AS point_read_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "html_links" ->
       // the oracle does NOT parse: it reconstructs the two planted

@@ -177,7 +177,13 @@ object DumpPlans {
       "allocation — the north rule's pooled-tokenizer discipline), " +
       "no exchange anywhere; output rows are fixed-width link " +
       "tuples, never the page body. Feeds anchor_topk / " +
-      "graph_pagerank / the crawl frontier."))
+      "graph_pagerank / the crawl frontier."),
+    "cdx_build" -> ("ONE exchange: groupByKey on doc_id/16 co-locates " +
+      "each archive's records (the bytes ANY archive writer must " +
+      "move), then encode + member-index + per-member point-read all " +
+      "run inside the task. Nothing downstream shuffles; output is " +
+      "fixed-width index rows. At 100 TB this is the cdx job Common " +
+      "Crawl runs next to every crawl."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
