@@ -1352,6 +1352,90 @@ object SparkEntry {
       import s.implicits._
       val rules = robotsRules.toDF("host", "kind", "prefix")
       graft.ops.CrawlOps.robotsEval(urls, rules).orderBy(col("doc_id"))
+    }),
+
+    "text_derep" -> ((s, dir) => {
+      // WITHIN-document repeated-line removal (intra-doc sibling of
+      // line_dedup's cross-doc rule). Planted page shape: a subscribe
+      // banner appears twice and the body line repeats once — both
+      // second occurrences must go; the empty line must survive
+      // (paragraph structure is never deduped). Pure per-row kernel,
+      // zero exchanges. Oracle recomputes keep-first-occurrence with
+      // string_split + min(pos) per (doc, line).
+      val page = concat(lit("SUBSCRIBE NOW\n"), col("text"),
+        lit("\n\nSHARE: "), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("\nSUBSCRIBE NOW\n"), col("text"))
+      graft.ops.Dedup.derepLines(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")))
+        .withColumn("n_removed", col("n_removed").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "crawl_schedule" -> ((s, dir) => {
+      // politeness scheduler over a synthetic frontier: host from a
+      // 37-way split, priority = n_chars (doc_id breaks ties), known
+      // crawl delays for 10 hosts and the 1000 ms default for the
+      // rest. The per-host window IS the semantics (a polite crawler
+      // is a serial queue per host).
+      val frontier = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(37)).cast("string")).as("host"),
+        col("n_chars").as("priority"))
+      import s.implicits._
+      val delays = (0 until 10).map(i => (s"h$i", (i + 1) * 100L))
+        .toDF("host", "delay_ms")
+      graft.ops.CrawlOps.politenessSchedule(frontier, delays)
+        .orderBy(col("doc_id"))
+    }),
+
+    "decontam_apply" -> ((s, dir) => {
+      // APPLY side of contamination_check — same deterministic split
+      // (eval = doc_id % 29 == 3) and the same df-capped trigram rule;
+      // train docs sharing >= 2 capped shingles with ANY eval doc are
+      // dropped via one broadcast anti-join on id (train text never
+      // shuffles). Output is the surviving corpus slice.
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.decontaminate(
+          docs.where(col("doc_id") % 29 =!= 3),
+          docs.where(col("doc_id") % 29 === 3),
+          minShared = 2, maxDocFreq = 64)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "select_dsir" -> ((s, dir) =>
+      // DSIR-style importance selection (hashed unigram+bigram buckets,
+      // exact integer millibit log-ratios, top-k by score): target =
+      // lang='en' docs, raw = whole corpus. Oracle = committed golden
+      // from an INDEPENDENT Python derivation (tools/dsir_expected.py:
+      // own tokenizer/hash/floor, float log2 cross-checked against the
+      // exact integer predicate), pinned at sf0.01.
+      graft.ops.Dsir.selectTopK(t(s, dir, "documents"),
+          col("lang") === "en", k = 100)
+        .orderBy(col("doc_id"))),
+
+    "sitemap_parse" -> ((s, dir) => {
+      // sitemap XML entries via the arena DOM parser. Traps: a
+      // commented-out <url> block (regex bait — a comment node to the
+      // parser), a loc-less entry (must be skipped without consuming
+      // an entry_idx), and REQUIRED &amp; escaping in <loc> that must
+      // decode. The oracle rebuilds both surviving entries per site
+      // relationally from doc_id.
+      val site = pmod(col("doc_id"), lit(40)).cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset><url><loc>https://site"),
+        site, lit(".example.com/page/"), col("doc_id").cast("string"),
+        lit("?a=1&amp;b=2</loc><lastmod>2024-0"),
+        (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+        lit("-15</lastmod><priority>0."),
+        pmod(col("doc_id"), lit(10)).cast("string"),
+        lit("</priority></url><!-- <url><loc>https://trap.example.com/"),
+        col("doc_id").cast("string"),
+        lit("</loc></url> --><url><lastmod>2020-01-01</lastmod></url><url><loc>https://site"),
+        site, lit(".example.com/alt/"), col("doc_id").cast("string"),
+        lit("</loc></url></urlset>"))
+      graft.extract.Sitemap.parseSitemaps(
+          t(s, dir, "documents").select(col("doc_id").as("site_id"), xml.as("xml")))
+        .orderBy(col("site_id"), col("entry_idx"))
     })
   )
 
@@ -2907,7 +2991,101 @@ object SparkEntry {
          |  coalesce(m.kind = 'allow', TRUE) AS allowed,
          |  m.kind AS matched_kind, m.prefix AS matched_prefix
          |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
-         |ORDER BY u.doc_id""".stripMargin
+         |ORDER BY u.doc_id""".stripMargin,
+
+    "text_derep" ->
+      // keep-first-occurrence recomputed in the text domain (the
+      // kernel matches 64-bit line fingerprints; string equality is
+      // identical absent a 2^-64 collision — the line_dedup pattern)
+      """WITH d AS (SELECT doc_id,
+        |    'SUBSCRIBE NOW' || chr(10) || text || chr(10) || chr(10) ||
+        |    'SHARE: ' || (doc_id % 5) || chr(10) ||
+        |    'SUBSCRIBE NOW' || chr(10) || text AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM d),
+        |firsts AS (SELECT doc_id, line, min(pos) AS fpos
+        |  FROM l WHERE line <> '' GROUP BY doc_id, line),
+        |kept AS (SELECT l.doc_id, l.line, l.pos FROM l
+        |  LEFT JOIN firsts f ON l.doc_id = f.doc_id AND l.line = f.line
+        |    AND l.pos = f.fpos
+        |  WHERE l.line = '' OR f.fpos IS NOT NULL),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text,
+        |  ((SELECT count(*) FROM l WHERE l.doc_id = d.doc_id)
+        |    - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "crawl_schedule" ->
+      """WITH f AS (SELECT doc_id, 'h' || (doc_id % 37) AS host,
+        |    n_chars AS priority FROM documents),
+        |r AS (SELECT doc_id, host, (row_number() OVER (
+        |    PARTITION BY host ORDER BY priority DESC, doc_id) - 1)::BIGINT AS slot
+        |  FROM f),
+        |d AS (SELECT 'h' || i AS host, (i + 1) * 100 AS delay_ms
+        |  FROM range(10) t(i))
+        |SELECT r.doc_id, r.host, r.slot,
+        |  (r.slot * coalesce(d.delay_ms, 1000))::BIGINT AS eta_ms
+        |FROM r LEFT JOIN d USING (host)
+        |ORDER BY doc_id""".stripMargin,
+
+    "decontam_apply" ->
+      // the contamination_check CTE re-used to mine the drop set, then
+      // NOT IN over the train slice (string trigrams ≡ the kernel's
+      // hashed shingles modulo negligible 64-bit collisions)
+      (s"""WITH arrs AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(
+        |    regexp_replace(lower(text), '^$pyWs+|$pyWs+$$', '', 'g'), '$pyWs+') AS arr
+        |  FROM documents),""".stripMargin + """
+        |toks0 AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(arr) >= 3 THEN
+        |    list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+        |    ELSE [] END)) AS tok
+        |  FROM arrs),
+        |toks AS (SELECT id, tok FROM toks0 WHERE tok IN (
+        |  SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 64)),
+        |ev AS (SELECT id AS eval_id, tok FROM toks WHERE id % 29 = 3),
+        |tr AS (SELECT id AS train_id, tok FROM toks WHERE id % 29 <> 3),
+        |bad AS (SELECT DISTINCT train_id FROM (
+        |  SELECT train_id, eval_id, count(*) AS sh
+        |  FROM tr JOIN ev USING (tok) GROUP BY 1, 2) WHERE sh >= 2)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 29 <> 3
+        |  AND doc_id NOT IN (SELECT train_id FROM bad)
+        |ORDER BY doc_id""".stripMargin),
+
+    "select_dsir" ->
+      // committed golden from an INDEPENDENT Python derivation
+      // (tools/dsir_expected.py: own tokenizer, FNV-1a+mix hash and
+      // float-log2 weights cross-checked against the exact integer
+      // predicate), pinned at sf0.01
+      s"""SELECT doc_id, score_mb, selected
+         |FROM read_parquet('$goldenDir/dsir_sf001.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
+    "sitemap_parse" ->
+      // both surviving entries rebuilt relationally from doc_id: the
+      // commented-out <url> and the loc-less <url> contribute NO rows
+      // (a regex extractor would emit the trap row and go red), and
+      // the &amp; in <loc> arrives DECODED
+      """SELECT site_id, entry_idx, loc, lastmod, priority FROM (
+        |  SELECT doc_id AS site_id, 0::BIGINT AS entry_idx,
+        |    'https://site' || (doc_id % 40) || '.example.com/page/' ||
+        |      doc_id || '?a=1&b=2' AS loc,
+        |    '2024-0' || ((doc_id % 9) + 1) || '-15' AS lastmod,
+        |    '0.' || (doc_id % 10) AS priority
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT,
+        |    'https://site' || (doc_id % 40) || '.example.com/alt/' || doc_id,
+        |    NULL::VARCHAR, NULL::VARCHAR
+        |  FROM documents)
+        |ORDER BY site_id, entry_idx""".stripMargin
   )
 
   private def robotsRulesValues: String =

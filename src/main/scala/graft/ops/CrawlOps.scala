@@ -277,4 +277,35 @@ object CrawlOps {
         coalesce(col("matched_kind") === "allow", lit(true)).as("allowed"),
         col("matched_kind"), col("matched_prefix"))
   }
+
+  /** Politeness scheduler for a fetch frontier: per host, urls are
+    * fetched one at a time in priority order (priority desc, key asc —
+    * a total order, so the schedule is reproducible), spaced by the
+    * host's crawl delay. Emits each url's fetch slot (0-based position
+    * in its host's queue) and eta_ms = slot · delay.
+    *
+    * The per-host sequencing window is the semantics, not an
+    * implementation choice — a polite crawler IS a serial queue per
+    * host — so the one exchange partitions by host. Skew note: a
+    * pathological host with millions of frontier urls makes a fat
+    * window partition, but such a host is exactly what an upstream
+    * per-domain cap ([[DomainCap]]) truncates, and the window state
+    * itself is O(1) per row (rank only, no buffering).
+    *
+    * @param frontier (keyCol, host, priority)
+    * @param delays   (host, delay_ms) — hosts absent here get
+    *                 `defaultDelayMs` via the left join
+    * @return (keyCol, host, slot, eta_ms)
+    */
+  def politenessSchedule(frontier: DataFrame, delays: DataFrame,
+      defaultDelayMs: Long = 1000L, keyCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+    frontier.select(col(keyCol), col("host"), col("priority"))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .join(delays.select(col("host"), col("delay_ms")), Seq("host"), "left")
+      .select(col(keyCol), col("host"), col("slot"),
+        (col("slot") * coalesce(col("delay_ms"), lit(defaultDelayMs)))
+          .cast("long").as("eta_ms"))
+  }
 }

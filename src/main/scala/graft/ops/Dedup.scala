@@ -746,6 +746,57 @@ object Dedup {
     }.toDF("doc_id", "text", "n_removed")
   }
 
+  /** The APPLY side of eval-set decontamination (the GPT-3 appendix-C
+    * move: don't just report train/eval overlap — drop the train
+    * documents that carry it). A train doc is contaminated when it
+    * shares ≥ `minShared` shingles with ANY eval doc at ≥
+    * `minOverlapBp` of that eval doc's shingle set, per
+    * [[contaminationCheck]]'s df-capped rule.
+    *
+    * Scale shape: the contaminated-id set is output-bounded (≤ the
+    * eval set's blast radius, not the corpus), so the removal is one
+    * broadcast anti-join on doc_id — the train side's text never
+    * shuffles, same as [[applyPairDedup]].
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      minShared: Long = 8, maxDocFreq: Long = 64,
+      minOverlapBp: Long = 0): DataFrame = {
+    val hits = contaminationCheck(train, eval, minShared, maxDocFreq)
+      .where(col("overlap_bp") >= minOverlapBp)
+      .select(col("train_id").as("doc_id")).distinct()
+    train.join(broadcast(hits), Seq("doc_id"), "left_anti")
+  }
+
+  /** WITHIN-document repeated-line removal (the intra-doc counterpart
+    * of [[lineDedup]]'s cross-doc boilerplate rule — the Gopher /
+    * RefinedWeb "remove duplicated lines inside a page" transform:
+    * nav menus, subscribe banners and share bars repeat inside one
+    * page as well as across pages). Keeps the FIRST occurrence of
+    * every non-empty line, preserves empty lines (paragraph
+    * structure), recomposes with '\n'.
+    *
+    * Scale shape: a pure per-row kernel — zero exchanges, parallelizes
+    * with the scan; per-row state is one HashSet over the row's OWN
+    * line hashes (page-bounded, not corpus-bounded). Dedup is on the
+    * same 64-bit fingerprint as [[lineDedup]], so the two passes see
+    * one line identity.
+    */
+  def derepLines(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (text == null) (id, null: String, 0)
+        else {
+          val lines = text.split("\n", -1)
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val kept = lines.filter(l => l.isEmpty || seen.add(lineHash(l)))
+          (id, kept.mkString("\n"), lines.length - kept.length)
+        }
+      }.toDF("doc_id", "text", "n_removed")
+  }
+
   /** Embedding-cosine near-dup pairs (brute force — the small-N /
     * oracle path; the scale path is Similarity.lshNearDupPairs).
     */

@@ -65,4 +65,24 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(out.size == 5)
     assert(out.map(_._2).toSet.subsetOf((0L until 100L).toSet))
   }
+
+  test("politenessSchedule: priority order, key tiebreak, default delay") {
+    val frontier = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // a: 2 (tie->2 first), 3, 1
+      (4L, "b", 5L) // b: alone, unknown host -> default delay
+    ).toDF("doc_id", "host", "priority")
+    val delays = Seq(("a", 100L)).toDF("host", "delay_ms")
+    val out = CrawlOps.politenessSchedule(frontier, delays, defaultDelayMs = 777L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(2L) == ((0L, 0L)))   // highest priority, lowest key
+    assert(out(3L) == ((1L, 100L))) // tie broken by key asc
+    assert(out(1L) == ((2L, 200L)))
+    assert(out(4L) == ((0L, 0L)))   // slot 0 costs 0 even at default delay
+    // a second url on the unknown host pays the default spacing
+    val out2 = CrawlOps.politenessSchedule(
+      frontier.union(Seq((5L, "b", 1L)).toDF("doc_id", "host", "priority")),
+      delays, defaultDelayMs = 777L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2(5L) == 777L)
+  }
 }

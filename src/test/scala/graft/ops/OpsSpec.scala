@@ -266,6 +266,37 @@ class OpsSpec extends AnyFunSuite {
       (5L, null, 0)))
   }
 
+  test("derepLines: within-doc repeats dropped after first, empty lines kept") {
+    val docs = Seq(
+      (1L, "banner\nbody a\n\nbanner\nbody a\nbody b\n\nbanner"),
+      (2L, "solo line"),
+      (3L, ""),          // one empty line, kept
+      (4L, "\n\n"),      // three empty lines, ALL kept (structure)
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.derepLines(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, "banner\nbody a\n\nbody b\n", 3), // trailing '' from the cut repeat kept
+      (2L, "solo line", 0),
+      (3L, "", 0),
+      (4L, "\n\n", 0),
+      (5L, null, 0)))
+  }
+
+  test("decontaminate: train doc carrying an eval passage is dropped, rest survive") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about distributed query engines"),
+      (3L, "more benign prose with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "quick brown fox jumps over the lazy")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, minShared = 2, maxDocFreq = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L))
+  }
+
   test("topNPerKey: salted two-phase rank equals the exact single-window rank under skew") {
     // hot key owns 80% of rows, spread over 8 partitions
     val rows = (0 until 500).map { i =>
