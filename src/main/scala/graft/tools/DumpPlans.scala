@@ -183,7 +183,29 @@ object DumpPlans {
       "move), then encode + member-index + per-member point-read all " +
       "run inside the task. Nothing downstream shuffles; output is " +
       "fixed-width index rows. At 100 TB this is the cdx job Common " +
-      "Crawl runs next to every crawl."))
+      "Crawl runs next to every crawl."),
+    "text_derep" -> ("Pure per-row kernel — the only exchange is the " +
+      "result sort. Per-row state is a HashSet over the row's OWN " +
+      "line fingerprints (page-bounded); at 100 TB this transform " +
+      "rides the extraction scan for free."),
+    "crawl_schedule" -> ("One window exchange on host (the per-host " +
+      "serial queue IS the semantics of politeness), then a LEFT " +
+      "join to the delay table — rank-only window state, no " +
+      "buffering; a pathological frontier host is what the upstream " +
+      "domain cap truncates."),
+    "decontam_apply" -> ("The contaminated-id set is mined by the " +
+      "broadcast-eval contamination plan and applied as a broadcast " +
+      "LEFT ANTI join — the train corpus' text never crosses an " +
+      "exchange on either the mine or the drop path."),
+    "select_dsir" -> ("Two kernel scans bracket a B-bounded exchange: " +
+      "bucket count partials (≤ 4096 rows/partition however big the " +
+      "corpus), the 8·B-byte weight array broadcasts back, and " +
+      "selection is TakeOrderedAndProject + a broadcast top-k flag " +
+      "join. Document text never shuffles; nothing in the plan grows " +
+      "with corpus size except the scans."),
+    "sitemap_parse" -> ("Same shape as html_links: pooled arena parser " +
+      "per partition, zero exchanges above the scan (bar the result " +
+      "sort); output rows are short (loc, lastmod, priority) tuples."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
