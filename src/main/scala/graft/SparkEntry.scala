@@ -1436,6 +1436,53 @@ object SparkEntry {
       graft.extract.Sitemap.parseSitemaps(
           t(s, dir, "documents").select(col("doc_id").as("site_id"), xml.as("xml")))
         .orderBy(col("site_id"), col("entry_idx"))
+    }),
+
+    "c4_filter" -> ((s, dir) => {
+      // C4's published cleaning heuristics over planted pages: one
+      // line per rule — a proper sentence, the word-soup body (no
+      // terminal punct), a short line, a javascript line, two more
+      // proper sentences (the third withheld on doc_id % 11 == 0 to
+      // trip too_few_sentences), plus conditional brace / lorem-ipsum
+      // / bad-word page poisons with kernel-mirrored precedence.
+      val page = concat(
+        lit("Genuine first sentence about "), col("source"),
+        lit(" data curation today.\n"),
+        col("text"), lit("\n"),
+        lit("Too short.\n"),
+        lit("This line mentions javascript frameworks and should vanish.\n"),
+        lit("A second proper sentence keeps the page going."),
+        when(pmod(col("doc_id"), lit(11)) =!= 0,
+          lit("\nA third proper sentence keeps the page alive."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("\nconfig = { \"a\": 1 }")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          lit("\nLorem Ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(31)) === 0,
+          lit("\nThis sentence contains badword1 unfortunately for everyone."))
+          .otherwise(lit("")))
+      graft.ops.TextAnalysis.c4Clean(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+          badWords = Set("badword1", "badword2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "redirect_resolve" -> ((s, dir) => {
+      // redirect-chain resolution by pointer doubling. Planted edges
+      // per 50-block (r = doc_id % 50): {16,17,18} -> +1 and 19 -> -2,
+      // giving a 3-cycle 17->18->19->17 plus a chain INTO it from 16;
+      // every other non-multiple-of-5 id redirects -1 (chains of
+      // length <= 4 ending at multiples of 5, which never redirect).
+      val r = pmod(col("doc_id"), lit(50))
+      val edges = t(s, dir, "documents").select(col("doc_id").as("src"),
+          when(r.isin(16, 17, 18), col("doc_id") + 1)
+            .when(r === 19, col("doc_id") - 2)
+            .when(pmod(col("doc_id"), lit(5)) =!= 0, col("doc_id") - 1)
+            .as("dst"))
+        .where(col("dst").isNotNull)
+      graft.ops.Graph.resolveRedirects(edges, maxRounds = 6)
+        .orderBy(col("src"))
     })
   )
 
@@ -3085,7 +3132,83 @@ object SparkEntry {
         |    'https://site' || (doc_id % 40) || '.example.com/alt/' || doc_id,
         |    NULL::VARCHAR, NULL::VARCHAR
         |  FROM documents)
-        |ORDER BY site_id, entry_idx""".stripMargin
+        |ORDER BY site_id, entry_idx""".stripMargin,
+
+    "c4_filter" ->
+      // the same planted page, every rule re-spelled relationally with
+      // the kernel's precedence (brace > lorem > bad_word > too_few)
+      """WITH p AS (SELECT doc_id,
+        |    'Genuine first sentence about ' || source ||
+        |      ' data curation today.' || chr(10) ||
+        |    text || chr(10) ||
+        |    'Too short.' || chr(10) ||
+        |    'This line mentions javascript frameworks and should vanish.' ||
+        |      chr(10) ||
+        |    'A second proper sentence keeps the page going.' ||
+        |    CASE WHEN doc_id % 11 <> 0 THEN chr(10) ||
+        |      'A third proper sentence keeps the page alive.' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+        |      'config = { "a": 1 }' ELSE '' END ||
+        |    CASE WHEN doc_id % 23 = 0 THEN chr(10) ||
+        |      'Lorem Ipsum dolor sit amet consectetur.' ELSE '' END ||
+        |    CASE WHEN doc_id % 31 = 0 THEN chr(10) ||
+        |      'This sentence contains badword1 unfortunately for everyone.'
+        |      ELSE '' END AS page
+        |  FROM documents),
+        |flags AS (SELECT doc_id,
+        |    contains(page, '{') AS has_brace,
+        |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |    len(list_filter(regexp_split_to_array(lower(page),
+        |      '[ \t\n\f\r]+'), t -> t IN ('badword1', 'badword2'))) > 0
+        |      AS has_bad
+        |  FROM p),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(range(len(string_split(page, chr(10))))) AS pos
+        |  FROM p),
+        |k AS (SELECT doc_id, line, pos FROM l
+        |  WHERE right(trim(line), 1) IN ('.', '!', '?', '"')
+        |    AND len(regexp_split_to_array(trim(line), '[ \t]+')) >= 5
+        |    AND NOT list_contains(
+        |      regexp_split_to_array(lower(trim(line)), '[ \t]+'),
+        |      'javascript')),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  CASE WHEN NOT f.has_brace AND NOT f.has_lorem AND NOT f.has_bad
+        |        AND coalesce(a.n, 0) >= 3 THEN a.text END AS text,
+        |  (CASE WHEN f.has_brace OR f.has_lorem OR f.has_bad THEN 0
+        |        ELSE coalesce(a.n, 0) END)::BIGINT AS n_kept,
+        |  CASE WHEN f.has_brace THEN 'brace'
+        |       WHEN f.has_lorem THEN 'lorem_ipsum'
+        |       WHEN f.has_bad THEN 'bad_word'
+        |       WHEN coalesce(a.n, 0) < 3 THEN 'too_few_sentences'
+        |       END AS drop_reason
+        |FROM flags f LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "redirect_resolve" ->
+      // terminal per src found by a bounded recursive walk (chains are
+      // <= 4 hops by construction; the hops < 12 guard only cuts the
+      // planted cycle's infinite orbit); a src with no terminal row is
+      // a cycle member or cycle-reaching chain
+      """WITH RECURSIVE e AS (SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      CASE WHEN doc_id % 50 IN (16, 17, 18) THEN doc_id + 1
+        |           WHEN doc_id % 50 = 19 THEN doc_id - 2
+        |           WHEN doc_id % 5 <> 0 THEN doc_id - 1 END AS dst
+        |    FROM documents) WHERE dst IS NOT NULL),
+        |walk AS (
+        |  SELECT src, dst AS cur, 1::BIGINT AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hops + 1 FROM walk w
+        |  JOIN e ON w.cur = e.src WHERE w.hops < 12),
+        |term AS (SELECT src, cur, hops FROM walk
+        |  WHERE cur NOT IN (SELECT src FROM e))
+        |SELECT e.src, t.cur AS final_id, t.hops AS hops,
+        |  t.src IS NULL AS is_cycle
+        |FROM e LEFT JOIN term t ON e.src = t.src
+        |ORDER BY e.src""".stripMargin
   )
 
   private def robotsRulesValues: String =

@@ -322,6 +322,75 @@ object TextAnalysis {
     (nEmails, nIps, nIds, redacted)
   }
 
+  // ---------------- C4-style page cleaning ----------------
+
+  /** C4's published cleaning heuristics (Raffel et al. 2020 §2.2,
+    * public rules), as a pure per-row kernel — the line/page filter
+    * stage of the canonical webtext pipeline:
+    *
+    *  page-level drops (precedence order, reason in `drop_reason`):
+    *   - `empty`: null/blank text
+    *   - `brace`: any '{' on the page (code, not prose)
+    *   - `lorem_ipsum`: the placeholder phrase anywhere (lowercased)
+    *   - `bad_word`: any whitespace token of the page (lowercased,
+    *     per code point) is in `badWords` — C4 uses the public
+    *     blocklist; the list is a parameter here
+    *   - `too_few_sentences`: fewer than `minLines` lines survive the
+    *     line filter
+    *  line-level keeps (applied when no page drop fires): a line
+    *  survives iff its trimmed form ends in terminal punctuation
+    *  (. ! ? "), carries at least `minWords` whitespace tokens, and
+    *  none of its lowercased tokens is "javascript".
+    *
+    * Zero exchanges — rides the extraction scan like text_derep; at
+    * 100 TB this and the quality classifier are the two highest-volume
+    * filter passes in the pipeline.
+    *
+    * @return (doc_id, text [null when dropped], n_kept, drop_reason
+    *         [null when kept])
+    */
+  def c4Clean(docs: DataFrame, badWords: Set[String] = Set.empty,
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text) match {
+          case (_, null) => (id, null: String, 0L, "empty")
+          case (_, t) if t.trim.isEmpty => (id, null: String, 0L, "empty")
+          case (_, t) if t.indexOf('{') >= 0 => (id, null: String, 0L, "brace")
+          case (_, t) if lowerCp(t).contains("lorem ipsum") =>
+            (id, null: String, 0L, "lorem_ipsum")
+          case (_, t) if badWords.nonEmpty &&
+              lowerCp(t).split("[ \t\n\f\r]+").exists(badWords.contains) =>
+            (id, null: String, 0L, "bad_word")
+          case (_, t) =>
+            val kept = t.split("\n", -1).filter(c4KeepLine(_, minWords))
+            if (kept.length < minLines)
+              (id, null: String, kept.length.toLong, "too_few_sentences")
+            else (id, kept.mkString("\n"), kept.length.toLong, null: String)
+        }
+      }
+      .toDF("doc_id", "text", "n_kept", "drop_reason")
+  }
+
+  /** Per-code-point simple lowercase (the lmPerplexity discipline —
+    * matches SQL lower(), unlike String.toLowerCase's full mapping).
+    */
+  private def lowerCp(s: String): String =
+    new String(s.codePoints().map(Character.toLowerCase(_)).toArray, 0,
+      s.codePointCount(0, s.length))
+
+  private[graft] def c4KeepLine(line: String, minWords: Int): Boolean = {
+    val t = line.trim
+    if (t.isEmpty) return false
+    val last = t.charAt(t.length - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    val words = t.split("[ \t]+")
+    words.length >= minWords && !words.exists(w => lowerCp(w) == "javascript")
+  }
+
   // ---------------- encoding repair (mojibake) ----------------
 
   /** UTF-8-read-as-Latin-1 mojibake repair (the ftfy core case, from

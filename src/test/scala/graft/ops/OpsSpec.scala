@@ -297,6 +297,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(2L, 3L))
   }
 
+  test("c4Clean: line rules, page poisons with precedence, empty input") {
+    val good = "This is a proper sentence with enough words."
+    val docs = Seq(
+      (1L, s"$good\nno terminal punct line\nShort one.\n$good\n$good"),
+      (2L, s"$good\n$good"),                      // only 2 kept -> too few
+      (3L, s"$good\n$good\n$good\nvar x = { 1 }"), // brace beats everything
+      (4L, s"$good\n$good\n$good\nWe love Lorem IPSUM text."), // lowercased match
+      (5L, s"$good\n$good\n$good\nthe banned token appears."),
+      (6L, s"$good\nUses the javascript keyword in a sentence.\n$good\n$good"),
+      (7L, null.asInstanceOf[String]),
+      (8L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, badWords = Set("banned"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, s"$good\n$good\n$good", 3L, null)))
+    assert(out(1) == ((2L, null, 2L, "too_few_sentences")))
+    assert(out(2) == ((3L, null, 0L, "brace")))
+    assert(out(3) == ((4L, null, 0L, "lorem_ipsum")))
+    assert(out(4) == ((5L, null, 0L, "bad_word")))
+    // the javascript LINE drops but the page survives on the other 3
+    assert(out(5) == ((6L, s"$good\n$good\n$good", 3L, null)))
+    assert(out(6) == ((7L, null, 0L, "empty")))
+    assert(out(7) == ((8L, null, 0L, "empty")))
+  }
+
   test("topNPerKey: salted two-phase rank equals the exact single-window rank under skew") {
     // hot key owns 80% of rows, spread over 8 partitions
     val rows = (0 until 500).map { i =>

@@ -261,4 +261,33 @@ class SketchGraphSpec extends AnyFunSuite {
       assert(bp >= 5000L && bp <= 10000L, s"bp=$bp outside [t, 1]")
     }
   }
+
+  test("resolveRedirects: chains resolve with hop counts, cycles and cycle-reaching srcs flag") {
+    // 5 -> 4 -> 3 -> 2 -> 1 -> 0 (terminal); 10 -> 11 -> 12 -> 10 (cycle);
+    // 9 -> 10 (chain INTO the cycle)
+    val edges = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (9L, 10L)
+    ).toDF("src", "dst")
+    val out = Graph.resolveRedirects(edges, maxRounds = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(5L) == ((0L, 5L, false))) // 5 hops to terminal 0
+    assert(out(1L) == ((0L, 1L, false)))
+    assert(out(10L) == ((-1L, -1L, true)))
+    assert(out(11L) == ((-1L, -1L, true)))
+    assert(out(12L) == ((-1L, -1L, true)))
+    assert(out(9L) == ((-1L, -1L, true))) // reaches the cycle -> unresolvable
+    assert(out.size == 9)
+  }
+
+  test("resolveRedirects: doubling beats per-hop walking — a 100-chain resolves in <= 8 rounds") {
+    // maxRounds = 8 allows 2^8 = 256 hops; a naive walk would need 100
+    val edges = (1L to 100L).map(i => (i, i - 1)).toDF("src", "dst")
+    val out = Graph.resolveRedirects(edges, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 100)
+    assert(out.forall { case (s, f, h, c) => f == 0L && h == s && !c })
+  }
 }
