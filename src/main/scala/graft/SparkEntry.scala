@@ -1483,6 +1483,43 @@ object SparkEntry {
         .where(col("dst").isNotNull)
       graft.ops.Graph.resolveRedirects(edges, maxRounds = 6)
         .orderBy(col("src"))
+    }),
+
+    "robots_parse" -> ((s, dir) => {
+      // robots.txt PARSING over four planted file shapes (v = doc_id
+      // % 4): a '*' group with allow/disallow/crawl-delay (v0); the
+      // same plus a second group reached across a blank line with a
+      // mixed-case directive, an inline comment after the value and an
+      // ignored unknown directive (v1); a TWO-agent group sharing one
+      // empty-value Disallow (v2); comments + an orphan rule before
+      // any User-agent, which must vanish (v3).
+      val i = col("doc_id")
+      val v = pmod(i, lit(4))
+      val common = concat(
+        lit("# robots for host "), i.cast("string"),
+        lit("\nUser-agent: *\nDisallow: /private/\nAllow: /private/public/\nCrawl-delay: "),
+        (pmod(i, lit(5)) + 1).cast("string"))
+      val body = when(v === 0, common)
+        .when(v === 1, concat(common,
+          lit("\n\nuser-AGENT:   graftbot\nDisallow: /trap-"), i.cast("string"),
+          lit("/ # stay out\nHost: ignored.example")))
+        .when(v === 2,
+          lit("User-agent: graftbot\nUser-agent: otherbot\nDisallow:"))
+        .otherwise(lit("# comments only\nDisallow: /orphan/"))
+      graft.ops.CrawlOps.parseRobots(
+          t(s, dir, "documents").select(i.as("host_id"), body.as("robots")))
+        .orderBy(col("host_id"), col("rule_idx"), col("agent"))
+    }),
+
+    "host_quality" -> ((s, dir) => {
+      // empirical-Bayes host quality: per-doc integer quality_bp
+      // (the text_analysis expression) grouped on a 37-way host split,
+      // shrunk toward the global floor-mean by 20 pseudo-counts —
+      // pure integer floor arithmetic, partitioning-independent.
+      val docs = t(s, dir, "documents").select(
+        concat(lit("h"), pmod(col("doc_id"), lit(37)).cast("string")).as("host"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.ops.CrawlOps.hostQuality(docs, k = 20).orderBy(col("host"))
     })
   )
 
@@ -3208,7 +3245,44 @@ object SparkEntry {
         |SELECT e.src, t.cur AS final_id, t.hops AS hops,
         |  t.src IS NULL AS is_cycle
         |FROM e LEFT JOIN term t ON e.src = t.src
-        |ORDER BY e.src""".stripMargin
+        |ORDER BY e.src""".stripMargin,
+
+    "robots_parse" ->
+      // expected rows rebuilt per planted variant; the v3 orphan rule
+      // and v1's unknown directive contribute nothing by construction
+      """SELECT host_id, agent, rule_idx, kind, value FROM (
+        |  SELECT doc_id AS host_id, '*' AS agent, 0::BIGINT AS rule_idx,
+        |    'disallow' AS kind, '/private/' AS value
+        |  FROM documents WHERE doc_id % 4 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, '*', 1, 'allow', '/private/public/'
+        |  FROM documents WHERE doc_id % 4 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, '*', 2, 'crawl-delay', (1 + doc_id % 5)::VARCHAR
+        |  FROM documents WHERE doc_id % 4 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, 'graftbot', 3, 'disallow', '/trap-' || doc_id || '/'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'graftbot', 0, 'disallow', ''
+        |  FROM documents WHERE doc_id % 4 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'otherbot', 0, 'disallow', ''
+        |  FROM documents WHERE doc_id % 4 = 2)
+        |ORDER BY host_id, rule_idx, agent""".stripMargin,
+
+    "host_quality" ->
+      // same quality_bp expression, then pure BIGINT floor arithmetic:
+      // global mean g = sum // n over ALL docs, shrunk = (s + k*g) // (n + k)
+      s"""WITH $textAnalysisCtes,
+        |hq AS (SELECT 'h' || (doc_id % 37) AS host, quality_bp FROM analysis),
+        |agg AS (SELECT host, count(*) AS n_docs, sum(quality_bp) AS s
+        |  FROM hq GROUP BY host),
+        |g AS (SELECT sum(s) // sum(n_docs) AS g FROM agg)
+        |SELECT host, n_docs::BIGINT AS n_docs,
+        |  (s // n_docs)::BIGINT AS mean_score,
+        |  ((s + 20 * g.g) // (n_docs + 20))::BIGINT AS shrunk_score
+        |FROM agg, g ORDER BY host""".stripMargin
   )
 
   private def robotsRulesValues: String =

@@ -278,6 +278,94 @@ object CrawlOps {
         col("matched_kind"), col("matched_prefix"))
   }
 
+  /** Host-level quality aggregation with empirical-Bayes shrinkage —
+    * the crawl-prioritization signal: a host seen 3 times with perfect
+    * scores must NOT outrank a host seen 3000 times at 90%, so each
+    * host's mean is shrunk toward the global mean by `k` pseudo-counts:
+    *   shrunk = floor((sum + k·g) / (n + k)),  g = floor(Σsum / Σn).
+    *
+    * Integer floor arithmetic throughout (the Graph.pageRank
+    * discipline): sums are associative, so the result is exactly
+    * partitioning-independent and oracle-hashable. One aggregation
+    * with map-side partial combine; the only collect is the 1-row
+    * global (Σsum, Σn).
+    *
+    * @param docs (host, score) — one row per document, integer score
+    * @return (host, n_docs, mean_score, shrunk_score)
+    */
+  def hostQuality(docs: DataFrame, k: Long = 20): DataFrame = {
+    val agg = docs.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+    val head = agg.agg(sum(col("s")), sum(col("n_docs"))).collect()(0)
+    val g = head.getLong(0) / head.getLong(1)
+    agg.select(col("host"), col("n_docs"),
+      expr("s div n_docs").as("mean_score"),
+      expr(s"(s + $k * $g) div (n_docs + $k)").as("shrunk_score"))
+  }
+
+  /** robots.txt PARSING (RFC 9309 §2.2 syntax) — the front half of
+    * [[robotsEval]], which consumes structured (host, kind, prefix)
+    * rules: turn raw robots.txt bodies into one row per (group agent,
+    * rule line).
+    *
+    * Grammar handled: `#` comments (anywhere on a line, stripped
+    * first), case-insensitive directive names, optional whitespace
+    * around the colon and value, CONSECUTIVE `User-agent` lines
+    * sharing one rule group (RFC: a group names several agents),
+    * blank lines NOT terminating a group, unknown directives ignored
+    * (forward compatibility: `Host:`, `Sitemap:` etc. don't consume a
+    * rule index), rules before any `User-agent` line dropped as
+    * orphans, and empty rule values kept (`Disallow:` with no value =
+    * allow everything).
+    *
+    * SCALE: pure per-row kernel — robots.txt files are KB-sized and
+    * one-per-host; the parse rides the fetch scan. Emitted `rule_idx`
+    * is the per-file RULE line ordinal (shared by every agent of the
+    * group), so downstream evaluation can reconstruct file order.
+    *
+    * @param files (keyCol, robots)
+    * @return (keyCol, agent, rule_idx, kind ∈ allow|disallow|crawl-delay, value)
+    */
+  def parseRobots(files: DataFrame, keyCol: String = "host_id"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(keyCol).cast("long"), col("robots"))
+      .as[(Long, String)]
+      .flatMap { case (id, body) =>
+        if (body == null) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, String, String)]
+          var agents = List.empty[String]
+          var inRules = false
+          var idx = 0L
+          body.split("\n", -1).foreach { raw =>
+            val hash = raw.indexOf('#')
+            val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+            val colon = line.indexOf(':')
+            if (line.nonEmpty && colon > 0) {
+              val name = line.substring(0, colon).trim.toLowerCase
+              val value = line.substring(colon + 1).trim
+              name match {
+                case "user-agent" =>
+                  if (inRules) { agents = Nil; inRules = false }
+                  agents = agents :+ value
+                case "allow" | "disallow" | "crawl-delay" =>
+                  if (agents.nonEmpty) {
+                    inRules = true
+                    agents.foreach(a => out += ((id, a, idx, name, value)))
+                    idx += 1
+                  } // else: orphan rule before any user-agent — dropped
+                case _ => () // unknown directive: ignored, no idx consumed
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF(keyCol, "agent", "rule_idx", "kind", "value")
+  }
+
   /** Politeness scheduler for a fetch frontier: per host, urls are
     * fetched one at a time in priority order (priority desc, key asc —
     * a total order, so the schedule is reproducible), spaced by the

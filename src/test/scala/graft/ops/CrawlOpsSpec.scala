@@ -85,4 +85,47 @@ class CrawlOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out2(5L) == 777L)
   }
+
+  test("parseRobots: groups, comments, case, multi-agent, orphans, unknown directives") {
+    val body =
+      """# preamble comment
+        |Disallow: /orphan/
+        |User-agent: *
+        |Disallow: /a/ # inline comment
+        |CRAWL-DELAY:  7
+        |Sitemap: https://x.example/sitemap.xml
+        |
+        |user-agent: botA
+        |User-Agent: botB
+        |Allow:
+        |no colon line
+        |Disallow: /b/""".stripMargin
+    val out = CrawlOps.parseRobots(Seq((1L, body)).toDF("host_id", "robots"))
+      .orderBy("rule_idx", "agent").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("*", 0L, "disallow", "/a/"),       // orphan /orphan/ dropped
+      ("*", 1L, "crawl-delay", "7"),      // case-insensitive, Sitemap ignored
+      ("botA", 2L, "allow", ""),          // blank line did NOT close the group
+      ("botB", 2L, "allow", ""),          // two agents share the rule + idx
+      ("botA", 3L, "disallow", "/b/"),
+      ("botB", 3L, "disallow", "/b/")))
+    // null body yields nothing, never throws
+    assert(CrawlOps.parseRobots(
+      Seq((2L, null.asInstanceOf[String])).toDF("host_id", "robots"))
+      .collect().isEmpty)
+  }
+
+  test("hostQuality: shrinkage pulls small hosts toward the global mean, exact integers") {
+    // host big: 10 docs at 9000; host tiny: 1 doc at 0
+    val docs = ((0 until 10).map(_ => ("big", 9000L)) :+ (("tiny", 0L)))
+      .toDF("host", "score")
+    val out = CrawlOps.hostQuality(docs, k = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val g = 90000L / 11L // 8181
+    assert(out("big") == ((10L, 9000L, (90000L + 5 * g) / 15L)))
+    assert(out("tiny") == ((1L, 0L, (0L + 5 * g) / 6L)))
+    // the shrunk tiny host sits far from its raw 0, near-ish the global mean
+    assert(out("tiny")._3 > 6000L && out("big")._3 < 9000L)
+  }
 }
