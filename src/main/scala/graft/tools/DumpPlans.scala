@@ -205,7 +205,23 @@ object DumpPlans {
       "with corpus size except the scans."),
     "sitemap_parse" -> ("Same shape as html_links: pooled arena parser " +
       "per partition, zero exchanges above the scan (bar the result " +
-      "sort); output rows are short (loc, lastmod, priority) tuples."))
+      "sort); output rows are short (loc, lastmod, priority) tuples."),
+    "c4_filter" -> ("Pure per-row kernel like text_derep: every C4 " +
+      "rule evaluates inside the scan task, zero exchanges bar the " +
+      "result sort. At 100 TB this and quality_nb are the two " +
+      "highest-volume filter passes — both ride the scan."),
+    "redirect_resolve" -> ("Pointer doubling: each round is ONE " +
+      "self-join on 8-byte keys (src, cur, hops on the wire — never " +
+      "urls), lineage truncated per round; a 2^k-hop chain resolves " +
+      "in k rounds where a per-hop walk pays k shuffles for a k-hop " +
+      "chain. Cycles surface as a flag, not an infinite loop."),
+    "robots_parse" -> ("Per-row parse of KB-sized robots bodies — " +
+      "rides the fetch scan, no exchange; feeds robotsEval's rule " +
+      "table and politenessSchedule's crawl delays."),
+    "host_quality" -> ("One map-side-combined aggregation keyed by " +
+      "host plus a 1-row global collect; the shrinkage projection is " +
+      "pure BIGINT floor arithmetic, so results are exactly " +
+      "partitioning-independent at any scale."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
