@@ -1520,6 +1520,21 @@ object SparkEntry {
         concat(lit("h"), pmod(col("doc_id"), lit(37)).cast("string")).as("host"),
         graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
       graft.ops.CrawlOps.hostQuality(docs, k = 20).orderBy(col("host"))
+    }),
+
+    "dedup_keep_best" -> ((s, dir) => {
+      // quality-aware cluster dedup: the dedup_cc pair set, but each
+      // cluster keeps its HIGHEST-quality_bp member (tie → lowest id)
+      // instead of the minimum id — the production canonical-pick.
+      // Oracle: recursive-CTE components + the quality CTE + the same
+      // (score desc, id) pick re-spelled relationally.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs,
+        threshold = 0.8, numHashes = 64, bands = 32, shingleSize = 3)
+      val scores = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.ops.Dedup.keepBestPerCluster(pairs, scores)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3282,7 +3297,31 @@ object SparkEntry {
         |SELECT host, n_docs::BIGINT AS n_docs,
         |  (s // n_docs)::BIGINT AS mean_score,
         |  ((s + 20 * g.g) // (n_docs + 20))::BIGINT AS shrunk_score
-        |FROM agg, g ORDER BY host""".stripMargin
+        |FROM agg, g ORDER BY host""".stripMargin,
+
+    "dedup_keep_best" ->
+      // components by min-label recursive closure (independent of the
+      // kernel's star contraction), quality from the shared CTE, pick
+      // by row_number (score desc, id) — the kernel's min(struct) agg
+      // must land on the same member
+      s"""WITH RECURSIVE $exactJaccardCte,
+        |$textAnalysisCtes,
+        |edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+        |          UNION ALL SELECT id_b, id_a FROM exact_pairs),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.v = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |scored AS (SELECT c.id, c.component, a.quality_bp AS score
+        |  FROM comp c JOIN analysis a ON a.doc_id = c.id),
+        |picked AS (SELECT id, component, score, row_number() OVER (
+        |    PARTITION BY component ORDER BY score DESC, id) AS rn
+        |  FROM scored)
+        |SELECT id::BIGINT AS doc_id, component::BIGINT AS component,
+        |  score::BIGINT AS score, (rn = 1) AS kept
+        |FROM picked ORDER BY doc_id""".stripMargin
   )
 
   private def robotsRulesValues: String =

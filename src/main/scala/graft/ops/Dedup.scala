@@ -746,6 +746,36 @@ object Dedup {
     }.toDF("doc_id", "text", "n_removed")
   }
 
+  /** Quality-aware canonical selection over near-dup CLUSTERS: run
+    * [[connectedComponents]] over the verified pair set, then keep the
+    * HIGHEST-scoring member of each cluster (ties → lowest id) instead
+    * of the cluster-minimum id. This is what production curation does —
+    * when five mirrors of a page near-dup each other, you keep the
+    * cleanest copy, not the numerically-first crawl.
+    *
+    * Scale shape: the component assignment is the bounded-round
+    * star-contraction loop; the best-pick is ONE map-side-combinable
+    * min(struct) aggregate over (component) — no window, no sort —
+    * followed by an id-keyed equi-join of the (cluster-count-bounded)
+    * best table.
+    *
+    * @param pairs  (id_a, id_b) verified near-dup pairs
+    * @param scores (doc_id, score) integer per-doc quality, defined at
+    *               least on every pair member
+    * @return (doc_id, component, score, kept) — one row per pair member
+    */
+  def keepBestPerCluster(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val scored = cc.join(
+      scores.select(col("doc_id").cast("long").as("id"), col("score")), "id")
+    val best = scored.groupBy(col("component"))
+      .agg(min(struct((-col("score")).as("ns"), col("id").as("bid"))).as("m"))
+      .select(col("component"), col("m.bid").as("best_id"))
+    scored.join(best, "component")
+      .select(col("id").as("doc_id"), col("component"), col("score"),
+        (col("id") === col("best_id")).as("kept"))
+  }
+
   /** The APPLY side of eval-set decontamination (the GPT-3 appendix-C
     * move: don't just report train/eval overlap — drop the train
     * documents that carry it). A train doc is contaminated when it

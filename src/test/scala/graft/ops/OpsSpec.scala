@@ -323,6 +323,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(7) == ((8L, null, 0L, "empty")))
   }
 
+  test("keepBestPerCluster: highest score wins the cluster, tie -> lowest id") {
+    // cluster {1,2,3} via chain 1-2, 2-3; cluster {7,8}; scores favor 2 and tie 7/8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(pairs, scores).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2) // 99 beats min-id 1
+    assert(out(7L)._2 && !out(8L)._2)                // tie -> lowest id
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out.size == 5)
+  }
+
   test("topNPerKey: salted two-phase rank equals the exact single-window rank under skew") {
     // hot key owns 80% of rows, spread over 8 partitions
     val rows = (0 until 500).map { i =>
