@@ -221,7 +221,12 @@ object DumpPlans {
     "host_quality" -> ("One map-side-combined aggregation keyed by " +
       "host plus a 1-row global collect; the shrinkage projection is " +
       "pure BIGINT floor arithmetic, so results are exactly " +
-      "partitioning-independent at any scale."))
+      "partitioning-independent at any scale."),
+    "dedup_keep_best" -> ("Cluster pick WITHOUT a window: the best " +
+      "member per component is a map-side-combinable min(struct) " +
+      "aggregate, then an id equi-join of the component-bounded best " +
+      "table — a row_number window here would sort every cluster's " +
+      "members; the agg collapses them map-side."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
