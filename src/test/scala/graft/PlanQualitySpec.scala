@@ -609,4 +609,56 @@ class PlanQualitySpec extends AnyFunSuite {
     val n2 = math.sqrt(64 * 0.01)
     assert(math.abs(row.getDouble(1) - dot / (n1 * n2)) < 1e-9)
   }
+
+  test("select_dsir: scoring plan has no shuffle — broadcast flag join + TakeOrdered only") {
+    // the bucket-count pass collects driver-side at weight-build time;
+    // the SCORING job must be two scans + a broadcast top-k flag join,
+    // with no hash exchange anywhere (nothing in it grows with corpus)
+    val plan = SparkEntry.queries("select_dsir")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("hashpartitioning"),
+      s"scoring path should not shuffle:\n$plan")
+  }
+
+  test("pure per-row kernels plan zero wide exchanges (derep/c4/sitemap/robots parse)") {
+    // these four ride the scan: the ONLY exchange allowed is the result
+    // sort's range partitioning — a hash exchange would mean the kernel
+    // grew a shuffle
+    Seq("text_derep", "c4_filter", "sitemap_parse", "robots_parse").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"$q kernel should not shuffle:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("dedup_keep_best: cluster pick is an aggregate, not a window") {
+    val plan = SparkEntry.queries("dedup_keep_best")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"best-member pick must be the min(struct) aggregate, not a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"pick aggregate should partial-combine map-side:\n$plan")
+  }
+
+  test("decontam_apply: the drop is a broadcast anti-join; train text never shuffles") {
+    val plan = SparkEntry.queries("decontam_apply")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"drop must be a broadcast anti-join:\n$plan")
+    val raw = "hashpartitioning\\([^)]*text".r.findFirstIn(plan)
+    assert(raw.isEmpty, s"train text crossed an exchange:\n$plan")
+  }
+
+  test("crawl_schedule: one host-keyed window exchange, delay join broadcast") {
+    val plan = SparkEntry.queries("crawl_schedule")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(host".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
