@@ -1535,6 +1535,47 @@ object SparkEntry {
         graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
       graft.ops.Dedup.keepBestPerCluster(pairs, scores)
         .orderBy(col("doc_id"))
+    }),
+
+    "frontier_build" -> ((s, dir) => {
+      // END-TO-END frontier construction — the crawl-side composition
+      // query (the dedup side has curate_corpus): the url_filter
+      // planted-url scheme → blocklist gate (broadcast anti on blocked
+      // ids) → robots gate (shared rule literals; subdomain'd hosts
+      // have no rules → default allow, as in life) → politeness
+      // schedule with per-host crawl delays. Every stage is an
+      // already-oracled operator; this row proves the composition.
+      val sub = when(pmod(col("doc_id"), lit(4)) === 0, lit("ads."))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("cdn.static."))
+        .otherwise(lit(""))
+      val sec = when(pmod(col("doc_id"), lit(3)) === 0, lit("shop"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("blog"))
+        .otherwise(lit("news"))
+      val host = concat(sub, lit("host-"),
+        pmod(col("doc_id"), lit(50)).cast("string"), lit(".example"))
+      val path = concat(lit("/"), sec, lit("/item-"),
+        col("doc_id").cast("string"), lit(".html"))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), host, path).as("url"),
+        host.as("host"), path.as("path"))
+      import s.implicits._
+      val bl = urlBlocklist.toDF("entry", "category", "kind")
+      val blockedIds = graft.ops.CrawlOps
+        .urlFilter(urls.select(col("doc_id"), col("url")), bl)
+        .where(col("blocked")).select("doc_id")
+      val surviving = urls.join(broadcast(blockedIds), Seq("doc_id"), "left_anti")
+      val rules = robotsRules.toDF("host", "kind", "prefix")
+      val allowedIds = graft.ops.CrawlOps.robotsEval(surviving, rules)
+        .where(col("allowed")).select("doc_id")
+      val frontier = surviving
+        .join(broadcast(allowedIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("host"),
+          pmod(col("doc_id"), lit(97)).as("priority"))
+      val delays = (0 until 10)
+        .map(i => (s"host-$i.example", ((i % 7) + 1) * 100L))
+        .toDF("host", "delay_ms")
+      graft.ops.CrawlOps.politenessSchedule(frontier, delays)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3321,7 +3362,50 @@ object SparkEntry {
         |  FROM scored)
         |SELECT id::BIGINT AS doc_id, component::BIGINT AS component,
         |  score::BIGINT AS score, (rn = 1) AS kept
-        |FROM picked ORDER BY doc_id""".stripMargin
+        |FROM picked ORDER BY doc_id""".stripMargin,
+
+    "frontier_build" ->
+      // the url_filter and robots_eval oracle spellings chained, then
+      // the politeness window — one relational recomputation of the
+      // whole composition
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 4 WHEN 0 THEN 'ads.' WHEN 1 THEN 'cdn.static.'
+         |          ELSE '' END)
+         |      || 'host-' || (doc_id % 50) || '.example' AS host,
+         |    (CASE doc_id % 3 WHEN 0 THEN 'shop' WHEN 1 THEN 'blog'
+         |          ELSE 'news' END) AS sec
+         |  FROM documents),
+         |u2 AS (SELECT doc_id, host, sec,
+         |    '/' || sec || '/item-' || doc_id || '.html' AS path
+         |  FROM u),
+         |bl(entry, category, kind) AS (VALUES $urlBlocklistValues),
+         |blocked AS (
+         |  SELECT DISTINCT u2.doc_id FROM u2 JOIN bl ON
+         |    (bl.kind = 'domain' AND
+         |      (u2.host = bl.entry OR u2.host LIKE '%.' || bl.entry))
+         |    OR (bl.kind = 'prefix' AND u2.host || '/' || u2.sec = bl.entry)),
+         |surv AS (SELECT doc_id, host, path FROM u2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+         |r(host, kind, prefix) AS (VALUES $robotsRulesValues),
+         |rm AS (
+         |  SELECT s.doc_id, r.kind, row_number() OVER (PARTITION BY s.doc_id
+         |    ORDER BY length(r.prefix) DESC, r.kind, r.prefix) AS rn
+         |  FROM surv s JOIN r ON s.host = r.host
+         |  WHERE starts_with(s.path, r.prefix)),
+         |allowed AS (SELECT s.doc_id, s.host FROM surv s
+         |  LEFT JOIN (SELECT * FROM rm WHERE rn = 1) m USING (doc_id)
+         |  WHERE coalesce(m.kind = 'allow', TRUE)),
+         |f AS (SELECT doc_id, host, doc_id % 97 AS priority FROM allowed),
+         |sched AS (SELECT doc_id, host, (row_number() OVER (
+         |    PARTITION BY host ORDER BY priority DESC, doc_id) - 1)::BIGINT AS slot
+         |  FROM f),
+         |d AS (SELECT 'host-' || i || '.example' AS host,
+         |    (i % 7 + 1) * 100 AS delay_ms FROM range(10) t(i))
+         |SELECT sched.doc_id, sched.host, sched.slot,
+         |  (slot * coalesce(d.delay_ms, 1000))::BIGINT AS eta_ms
+         |FROM sched LEFT JOIN d USING (host)
+         |ORDER BY doc_id""".stripMargin
   )
 
   private def robotsRulesValues: String =
