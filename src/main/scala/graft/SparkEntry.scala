@@ -1560,15 +1560,19 @@ object SparkEntry {
         host.as("host"), path.as("path"))
       import s.implicits._
       val bl = urlBlocklist.toDF("entry", "category", "kind")
+      // NO broadcast hints on the gate id-sets: blocked and allowed are
+      // corpus-PROPORTIONAL (unlike decontaminate's eval-bounded drop
+      // set), so at 10^12 urls these joins must be free to shuffle —
+      // AQE broadcasts them when they measure small, as they do here
       val blockedIds = graft.ops.CrawlOps
         .urlFilter(urls.select(col("doc_id"), col("url")), bl)
         .where(col("blocked")).select("doc_id")
-      val surviving = urls.join(broadcast(blockedIds), Seq("doc_id"), "left_anti")
+      val surviving = urls.join(blockedIds, Seq("doc_id"), "left_anti")
       val rules = robotsRules.toDF("host", "kind", "prefix")
       val allowedIds = graft.ops.CrawlOps.robotsEval(surviving, rules)
         .where(col("allowed")).select("doc_id")
       val frontier = surviving
-        .join(broadcast(allowedIds), Seq("doc_id"), "left_semi")
+        .join(allowedIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("host"),
           pmod(col("doc_id"), lit(97)).as("priority"))
       val delays = (0 until 10)

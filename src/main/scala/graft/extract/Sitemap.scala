@@ -33,8 +33,8 @@ object Sitemap {
   private val LastmodTag = TagDict.intern("lastmod")
   private val PriorityTag = TagDict.intern("priority")
 
-  /** Trimmed concatenated text of the FIRST direct child of `entry`
-    * with tag `tag`, or null if absent.
+  /** Trimmed concatenated text of the first DESCENDANT of `entry`
+    * with tag `tag` (document order), or null if absent.
     */
   private def childText(dom: Dom, entry: Int, tag: Int): String = {
     var found: String = null

@@ -297,6 +297,8 @@ object CrawlOps {
     val agg = docs.groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
     val head = agg.agg(sum(col("s")), sum(col("n_docs"))).collect()(0)
+    require(!head.isNullAt(1) && head.getLong(1) > 0,
+      "hostQuality: empty input (no global mean to shrink toward)")
     val g = head.getLong(0) / head.getLong(1)
     agg.select(col("host"), col("n_docs"),
       expr("s div n_docs").as("mean_score"),
