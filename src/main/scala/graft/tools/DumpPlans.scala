@@ -226,7 +226,13 @@ object DumpPlans {
       "member per component is a map-side-combinable min(struct) " +
       "aggregate, then an id equi-join of the component-bounded best " +
       "table — a row_number window here would sort every cluster's " +
-      "members; the agg collapses them map-side."))
+      "members; the agg collapses them map-side."),
+    "frontier_build" -> ("The crawl-side composition: blocklist anti, " +
+      "robots semi, politeness window. The gate id-sets are " +
+      "DELIBERATELY un-hinted — blocked/allowed are " +
+      "corpus-proportional, so at 10^12 urls these joins must be free " +
+      "to shuffle; AQE broadcasts them only when they measure small " +
+      "(as at this tier)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
