@@ -1580,6 +1580,31 @@ object SparkEntry {
         .toDF("host", "delay_ms")
       graft.ops.CrawlOps.politenessSchedule(frontier, delays)
         .orderBy(col("doc_id"))
+    }),
+
+    "embed_quantize" -> ((s, dir) => {
+      // int8 scalar quantization of the embedding table (4× at-rest/
+      // on-wire compression next to PQ's 32×). The result parquet pins
+      // every code through integer invariants (position-weighted
+      // checksum + L1 + saturation count) plus the scale in exact ppm
+      // — the oracle recomputes all of them from the same binary64
+      // rule over the float column.
+      import s.implicits._
+      graft.ops.Pq.int8Quantize(t(s, dir, "embeddings"))
+        .as[(Long, Double, Array[Byte])]
+        .map { case (id, ma, codes) =>
+          var ck = 0L; var l1 = 0L; var sat = 0L
+          var i = 0
+          while (i < codes.length) {
+            ck += codes(i).toLong * (i + 1)
+            l1 += math.abs(codes(i).toLong)
+            if (math.abs(codes(i).toInt) == 127) sat += 1
+            i += 1
+          }
+          (id, math.floor(ma * 1000000.0).toLong, ck, l1, sat)
+        }
+        .toDF("vec_id", "scale_ppm", "checksum", "l1", "n_sat")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -3409,7 +3434,30 @@ object SparkEntry {
          |SELECT sched.doc_id, sched.host, sched.slot,
          |  (slot * coalesce(d.delay_ms, 1000))::BIGINT AS eta_ms
          |FROM sched LEFT JOIN d USING (host)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      // the identical binary64 rule (float→double exact, one divide +
+      // multiply + floor — no libm) re-spelled over the same column,
+      // then the integer invariants
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |c AS (SELECT vec_id, ma,
+        |    CASE WHEN ma > 0
+        |      THEN list_transform(v, x -> floor(x / ma * 127.0 + 0.5)::BIGINT)
+        |      ELSE list_transform(v, x -> 0::BIGINT) END AS codes
+        |  FROM m),
+        |x AS (SELECT vec_id, unnest(codes) AS cd,
+        |    unnest(range(1, len(codes) + 1)) AS i FROM c),
+        |agg AS (SELECT vec_id, sum(cd * i)::BIGINT AS checksum,
+        |    sum(abs(cd))::BIGINT AS l1,
+        |    sum(CASE WHEN abs(cd) = 127 THEN 1 ELSE 0 END)::BIGINT AS n_sat
+        |  FROM x GROUP BY vec_id)
+        |SELECT c.vec_id, floor(c.ma * 1000000.0)::BIGINT AS scale_ppm,
+        |  a.checksum, a.l1, a.n_sat
+        |FROM c JOIN agg a USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
   )
 
   private def robotsRulesValues: String =

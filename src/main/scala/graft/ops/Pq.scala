@@ -318,4 +318,44 @@ object Pq {
     }
     cb
   }
+
+  /** Symmetric per-vector int8 SCALAR quantization — the other
+    * standard embedding-compression point next to PQ: 4× smaller
+    * (float32 → int8 + one scale), near-lossless recall, trivially
+    * reversible (v_i ≈ code_i · scale / 127), where PQ's 32× trades
+    * recall for memory. A 10^9-vector float32 table is 256 GB; int8
+    * is 64 GB — the difference between spilling and serving.
+    *
+    * code_i = floor(v_i / maxAbs · 127 + 0.5), scale = maxAbs — all
+    * binary64 arithmetic identical across engines (float→double is
+    * exact, one divide + multiply + floor, no libm), so a SQL oracle
+    * reproduces every code bit-for-bit. Zero vectors quantize to all
+    * zeros with scale 0. Pure per-row kernel, zero exchanges; codes
+    * are a BINARY column (the honest 4× on the wire and at rest).
+    *
+    * @return (vec_id, scale, codes) — codes byte-per-dimension
+    */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var ma = 0.0
+        var i = 0
+        while (i < v.length) {
+          val a = math.abs(v(i).toDouble); if (a > ma) ma = a; i += 1
+        }
+        val codes = new Array[Byte](v.length)
+        if (ma > 0) {
+          i = 0
+          while (i < v.length) {
+            codes(i) = math.floor(v(i).toDouble / ma * 127.0 + 0.5).toByte
+            i += 1
+          }
+        }
+        (id, ma, codes)
+      }
+      .toDF("vec_id", "scale", "codes")
+  }
 }

@@ -323,6 +323,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(7) == ((8L, null, 0L, "empty")))
   }
 
+  test("int8Quantize: round-trip error bounded by scale/254, zero vector, saturation") {
+    val vs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector
+      (3L, Array(1e-8f, -1e-8f, 1e-8f, 1e-8f)) // tiny but nonzero scale
+    ).toDF("vec_id", "embedding")
+    val out = Pq.int8Quantize(vs).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getAs[Array[Byte]](2)))
+    val (_, s1, c1) = out(0)
+    assert(s1 == 1.0 && c1.length == 4)
+    assert(c1(1) == -127, "the max-magnitude component saturates")
+    // reconstruction error of every component <= half a quantization step
+    Seq(0.5f, -1.0f, 0.25f, 0.0f).zip(c1).foreach { case (v, c) =>
+      assert(math.abs(v - c * s1 / 127.0) <= s1 / 254.0 + 1e-12)
+    }
+    val (_, s2, c2) = out(1)
+    assert(s2 == 0.0 && c2.forall(_ == 0))
+    val (_, s3, c3) = out(2)
+    assert(s3 > 0 && c3(0) == 127 && c3(1) == -127)
+  }
+
   test("keepBestPerCluster: highest score wins the cluster, tie -> lowest id") {
     // cluster {1,2,3} via chain 1-2, 2-3; cluster {7,8}; scores favor 2 and tie 7/8
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
