@@ -558,11 +558,17 @@ object Dedup {
     *      index IS the evidence, which is what makes this shape hold
     *      at 100 TB (only (fp, id, pos) triples ever shuffle).
     */
-  def substringDupPairs(docs: DataFrame, minSharedFps: Int = 4,
-      maxDocFreq: Long = 64, minRun: Int = 8): DataFrame = {
+  /** The matched-position table of [[substringDupPairs]] — per-doc
+    * winnow fingerprints, df-capped, self-joined on fp into
+    * (id_a, id_b, ia, ib, fp, diag) rows — exposed un-materialized so
+    * PlanQualitySpec can gate THESE exchanges (the text-kernel and
+    * self-join stage) even though substringDupPairs materializes the
+    * result for its three downstream consumers.
+    */
+  private[graft] def substringMatchTable(docs: DataFrame,
+      maxDocFreq: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val fps = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
@@ -574,10 +580,16 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") > maxDocFreq).select("fp")
     val filtered = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    val matches = filtered.as("a").join(filtered.as("b"),
+    filtered.as("a").join(filtered.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.fp_index").as("ia"), col("b.fp_index").as("ib"), col("a.fp").as("fp"))
+      .withColumn("diag", col("ia") - col("ib"))
+  }
+
+  def substringDupPairs(docs: DataFrame, minSharedFps: Int = 4,
+      maxDocFreq: Long = 64, minRun: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("ia"))
     // diagonal prefilter: a contiguous run of length L lives on one
@@ -587,7 +599,13 @@ object Dedup {
     // full match table for the window — and the reported max_run is
     // unchanged: the pair's longest run (>= minRun when the pair
     // qualifies) always lives on a kept diagonal.
-    val withDiag = matches.withColumn("diag", col("ia") - col("ib"))
+    //
+    // THREE consumers read the match table (diagonal prefilter, island
+    // window, shared-mass agg) — materialize it once (fixed-width rows,
+    // pair-volume-bounded) instead of executing the winnow kernel +
+    // fp self-join once per consumer (measured 3x at the driver tier).
+    val withDiag = substringMatchTable(docs, maxDocFreq).localCheckpoint(true)
+    val matches = withDiag
     val goodDiag = withDiag.groupBy("id_a", "id_b", "diag")
       .agg(count(lit(1)).as("dcnt"))
       .where(col("dcnt") >= minRun)

@@ -161,6 +161,11 @@ object Dsir {
         }
       }
       .toDF("doc_id", "score_mb")
+      // two consumers below (top-k and the flag join): materialize the
+      // (doc_id, score) pairs — 16 bytes/doc — so the tokenize/featurize/
+      // score kernel scans the corpus ONCE, not once per consumer
+      // (ADVICE r05; the prefixJaccardPairs multi-consumer pattern)
+      .localCheckpoint(true)
     val top = scored.orderBy(col("score_mb").desc, col("doc_id").asc)
       .limit(k).select(col("doc_id"), lit(true).as("selected"))
     scored.join(broadcast(top), Seq("doc_id"), "left")

@@ -167,31 +167,16 @@ object Bpe {
     syms
   }
 
-  /** DISTRIBUTED BPE training — [[train]]'s semantics (same greedy
-    * argmax, same (count desc, pair asc) tie-break, same minPairFreq
-    * early stop), restructured for a corpus that does not fit one
-    * machine:
-    *
-    *  1. ONE corpus pass builds the (piece, freq) table — pretokenize
-    *     kernel with per-partition HashMap combine, then a hash agg.
-    *     Zipf means distinct pieces ≪ corpus tokens; this table (not
-    *     the corpus) is what training iterates over, exactly the
-    *     word-frequency-dict shape of Sennrich et al. 2016.
-    *  2. Each round maps the CACHED piece table (replaying merges so
-    *     far — pure function of the broadcast merge list, so rounds
-    *     are partitioning-independent), partially combines pair counts
-    *     per partition, hash-aggregates, and collects ONE row: the
-    *     argmax pair. numMerges rounds = numMerges bounded-output jobs
-    *     over the piece table; document text is read once, ever.
-    *
-    * The result is the merges ARTIFACT (≤ numMerges rows) — driver-side
-    * by design, like the IVF/PQ quantizers.
+  /** The aggregated (piece, freq) dict of a corpus — ONE corpus pass:
+    * pretokenize kernel with per-partition HashMap combine, then a
+    * hash agg. Zipf/Heaps means distinct pieces ≪ corpus tokens; this
+    * table (not the corpus) is what training iterates over, exactly
+    * the word-frequency-dict shape of Sennrich et al. 2016.
     */
-  def trainDistributed(docs: DataFrame, numMerges: Int,
-      minPairFreq: Long = 2): Seq[(String, String)] = {
+  private def pieceFreqTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pieceFreq = docs.select(col("text")).as[String]
+    docs.select(col("text")).as[String]
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long]()
         it.foreach(t => pretokenize(t).foreach(p => m.merge(p, 1L, _ + _)))
@@ -205,8 +190,143 @@ object Bpe {
       }
       .toDF("piece", "freq").groupBy(col("piece"))
       .agg(sum(col("freq")).as("freq"))
-      .as[(String, Long)]
-      .persist()
+  }
+
+  /** UTF-8 binary string order (== code point order) — the ordering
+    * Spark SQL's `orderBy(col)` applies to strings, mirrored here so
+    * the driver-side argmax tie-break of [[trainWeighted]] is
+    * bit-identical to [[trainDistributedRounds]]'s SQL `ORDER BY f
+    * DESC, l, r`. Java String `<` is UTF-16 code-unit order, which
+    * differs for astral code points vs [U+E000, U+FFFF].
+    */
+  private[text] def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  /** Driver-side merge loop over an ALREADY-AGGREGATED (piece, freq)
+    * dict — [[train]]'s incremental algorithm (one global merge per
+    * round) started from the word-frequency table instead of raw
+    * texts, with the argmax tie-break in code-point order to match
+    * the SQL `ORDER BY f DESC, l, r` of the per-round distributed
+    * path. Cost per round is O(total symbols of the dict), so 32k
+    * production merges are driver-cheap once the dict is in hand.
+    */
+  def trainWeighted(pieces: Array[(String, Long)], numMerges: Int,
+      minPairFreq: Long = 2): Seq[(String, String)] = {
+    // deterministic processing order (input order must not leak);
+    // counting is order-independent, this just pins iteration for
+    // debuggability — the argmax comparison is total regardless
+    var words: Array[(Array[String], Long)] = pieces
+      .map { case (p, f) => (symbolsOf(p), f) }
+      .sortBy(w => (w._1.mkString, w._2))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val pairFreq = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          pairFreq.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (pairFreq.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestF = 0L
+        val it = pairFreq.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getKey
+          val f = e.getValue
+          if (f > bestF || (f == bestF && best != null &&
+              (cpLess(p._1, best._1) ||
+                (p._1 == best._1 && cpLess(p._2, best._2))))) {
+            best = p; bestF = f
+          }
+        }
+        if (bestF < minPairFreq) done = true
+        else {
+          merges += best
+          val merged = best._1 + best._2
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+                  out += merged; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.toArray, f)
+            }
+          }
+        }
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** DISTRIBUTED BPE training — [[train]]'s semantics (same greedy
+    * argmax, same (count desc, pair asc) tie-break, same minPairFreq
+    * early stop), restructured for a corpus that does not fit one
+    * machine: ONE corpus pass builds the aggregated (piece, freq)
+    * dict, the dict is collected under a LOUD bound (Heaps' law keeps
+    * distinct pretokens ≪ corpus tokens; the `require` fails fast if
+    * an adversarial corpus breaks that), and the merge loop runs
+    * driver-side over it — the IVF/PQ offline-artifact pattern, and
+    * what production trainers (HuggingFace tokenizers, SentencePiece)
+    * do. This removes the previous shape's one-driver-round-trip-PER-
+    * MERGE coordination (48 merges = 48 sequential jobs; a 32k
+    * production vocab would be 32k), whose round count scaled with
+    * the vocab parameter rather than the data.
+    *
+    * [[trainDistributedRounds]] keeps the fully-distributed per-round
+    * argmax as the equality cross-check (BpeSpec pins both paths to
+    * identical merges) and as the fallback if the dict bound ever
+    * needs to be broken distributed-side.
+    */
+  def trainDistributed(docs: DataFrame, numMerges: Int,
+      minPairFreq: Long = 2, maxDistinctPieces: Int = 1 << 22): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // limit(max+1) bounds driver memory exactly like a pre-count
+    // would, without a second scan — the lineDedup pattern
+    val rows = pieceFreqTable(docs).as[(String, Long)]
+      .limit(maxDistinctPieces + 1).collect()
+    require(rows.length <= maxDistinctPieces,
+      s"distinct piece dict exceeds bound $maxDistinctPieces — " +
+        "use trainDistributedRounds or raise the bound")
+    trainWeighted(rows, numMerges, minPairFreq)
+  }
+
+  /** The per-round fully-distributed trainer (the pre-optimization
+    * shape): each round maps the CACHED piece table (replaying merges
+    * so far — pure function of the broadcast merge list, so rounds
+    * are partitioning-independent), partially combines pair counts
+    * per partition, hash-aggregates, and collects ONE row: the argmax
+    * pair. numMerges rounds = numMerges bounded-output jobs over the
+    * piece table; document text is read once, ever. Kept as the
+    * equality cross-check for [[trainDistributed]] and for corpora
+    * whose distinct-piece dict genuinely cannot collect.
+    */
+  def trainDistributedRounds(docs: DataFrame, numMerges: Int,
+      minPairFreq: Long = 2): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieceFreq = pieceFreqTable(docs).as[(String, Long)].persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var done = false

@@ -173,7 +173,10 @@ class PlanQualitySpec extends AnyFunSuite {
     conf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      val plan = graft.ops.Dedup.substringDupPairs(docs)
+      // gate the MATCH stage directly (substringDupPairs materializes
+      // it with localCheckpoint for its three consumers, which would
+      // hide the kernel/self-join exchanges from the downstream plan)
+      val plan = graft.ops.Dedup.substringMatchTable(docs, maxDocFreq = 64)
         .queryExecution.executedPlan
       val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange => e
