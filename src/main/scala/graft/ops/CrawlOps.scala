@@ -94,8 +94,12 @@ object CrawlOps {
         col("cnt").as("top_cnt"))
     val deg = links.select(col("v"), col("u")).distinct()
       .groupBy(col("v")).agg(count(lit(1)).as("in_degree"))
-    val mentions = links.groupBy(col("v"))
-      .agg(count(lit(1)).as("mentions"))
+    // mentions = Σ per-anchor counts — derived from perAnchor instead
+    // of a third full pass over the link table (whose derivation may be
+    // an arbitrary caller plan, e.g. anchor_topk's text split); the
+    // (v, anchor) exchange is shared with `top` via exchange reuse
+    val mentions = perAnchor.groupBy(col("v"))
+      .agg(sum(col("cnt")).as("mentions"))
     deg.join(mentions, Seq("v")).join(top, Seq("v"))
       .select(col("v").as("doc_id"), col("in_degree"),
         col("mentions"), col("top_anchor"), col("top_cnt"))
@@ -296,6 +300,10 @@ object CrawlOps {
   def hostQuality(docs: DataFrame, k: Long = 20): DataFrame = {
     val agg = docs.groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+      // two consumers (the 1-row global collect + the shrinkage
+      // projection): materialize the per-host aggregate so the caller's
+      // score derivation (a kernel scan in host_quality) runs once
+      .localCheckpoint(true)
     val head = agg.agg(sum(col("s")), sum(col("n_docs"))).collect()(0)
     require(!head.isNullAt(1) && head.getLong(1) > 0,
       "hostQuality: empty input (no global mean to shrink toward)")

@@ -306,6 +306,10 @@ object Dedup {
           .map(h => (id, h))
       })
       .toDF("id", "tok")
+      // materialized once for its consumers (df-cap agg, self-join,
+      // per-doc sizes ×2) — the prefixJaccardPairs pattern; without it
+      // the shingle kernel re-scans the corpus per consumer
+      .localCheckpoint(true)
     // stop-shingle (df > cap) removal: the hot set is tiny, so compute
     // it with a hash partial-aggregate (map-side combine, no sort) and
     // remove it with a broadcast left-anti join — vs a sort-based
@@ -479,7 +483,10 @@ object Dedup {
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
+      // NOT distinct'd: duplicates (bounded at 2x by the symmetrized
+      // union) change neither mS's min nor `small`'s rows — small has
+      // its own distinct — so deduping here bought nothing but a full
+      // extra exchange per round
       // SMALL-STAR: edges are (larger → smaller); every smaller
       // neighbor and u itself re-link to m = min(Γ(u)). Flattens stars.
       val mS = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -664,10 +671,21 @@ object Dedup {
     // means, same 64 cap the jaccard oracle uses). count(*) IS the doc
     // frequency — shingleHashes emits each tok once per doc — and unlike
     // count_distinct it keeps the map-side partial combine: the exchange
-    // carries (tok, partial_count) rows, never raw (tok, id) pairs
+    // carries (tok, partial_count) rows, never raw (tok, id) pairs.
+    // df is only ever CONSULTED for eval-side tokens (`hot` filters
+    // evalKept alone), so the stream semi-joins the broadcast eval
+    // token set BEFORE grouping: the aggregation hash table and its
+    // exchange then hold only eval-matching tokens instead of the train
+    // corpus's entire shingle vocabulary. df values for eval tokens are
+    // unchanged — the semi-join keeps every occurrence of those tokens.
+    val evalTokSet = evalT.select("tok").distinct()
     val all = trainT.unionByName(evalT)
+      .join(broadcast(evalTokSet), Seq("tok"), "left_semi")
     val hot = all.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("tok")
+    // not materialized: `hot`'s df-agg exchange subtree is identical
+    // under evalKept's two consumers, so runtime exchange reuse computes
+    // the train scan once; only the small eval scan re-runs per branch
     val evalKept = evalT.join(broadcast(hot), Seq("tok"), "left_anti")
     val evalSizes = evalKept.groupBy("id").agg(count(lit(1)).as("n_eval"))
     val shared = trainT
@@ -784,6 +802,10 @@ object Dedup {
     */
   def keepBestPerCluster(pairs: DataFrame, scores: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
+    // NOT materialized: both consumers (best agg + final join) exchange
+    // scored on `component` with identical subtrees, so runtime exchange
+    // reuse already computes it once — an eager checkpoint here measured
+    // +0.29 s of pure barrier overhead (r06)
     val scored = cc.join(
       scores.select(col("doc_id").cast("long").as("id"), col("score")), "id")
     val best = scored.groupBy(col("component"))

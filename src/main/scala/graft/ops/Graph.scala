@@ -129,6 +129,7 @@ object Graph {
       .localCheckpoint(true)
     var rounds = 0
     var anyOpen = true
+    var prevOpen = Long.MaxValue
     while (anyOpen && rounds < maxRounds) {
       val step = m.select(col("src").as("cur"), col("cur").as("nxt"),
         col("hops").as("h2"))
@@ -138,9 +139,21 @@ object Graph {
           (col("hops") + coalesce(col("h2"), lit(0L))).as("hops"),
           col("nxt").isNull.as("term"))
         .localCheckpoint(true)
-      // a row is open while its cur still has an outgoing redirect;
-      // the existence probe is a cheap limit-1 scan of the joined flag
-      anyOpen = !m.where(!col("term")).isEmpty
+      // a row is open while its cur still has an outgoing redirect.
+      // PLATEAU STOP: a row, once terminal, stays terminal, and while
+      // any finite-chain row remains open some row terminates every
+      // round (every proper suffix of a chain is itself a src row, so
+      // each dyadic hop range (2^(k-1), 2^k] ≤ the longest finite
+      // chain is inhabited) — an unchanged open count therefore means
+      // every remaining open row sits on or feeds a redirect CYCLE and
+      // can never close; further doubling rounds cannot change the
+      // output (cycle-involved rows report null final_id/hops and keep
+      // their in-cycle/mid-chain cur, which stays inside the src
+      // domain, so the is_cycle flag is already decided). Running to
+      // maxRounds anyway only re-walked the cycles.
+      val open = m.where(!col("term")).count()
+      anyOpen = open > 0 && open < prevOpen
+      prevOpen = open
       m = m.drop("term")
       rounds += 1
     }
