@@ -583,6 +583,10 @@ object Dedup {
           .map { case (fp, i) => (id, i, fp) }
       })
       .toDF("doc_id", "fp_index", "fp")
+      // the winnow kernel's two consumers (df-cap agg and the filtered
+      // self-join) share NO exchange subtree, so without this the
+      // rolling-hash pass over every document runs twice per query
+      .localCheckpoint(true)
     val hot = fps.groupBy("fp")
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") > maxDocFreq).select("fp")

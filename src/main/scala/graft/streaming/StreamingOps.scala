@@ -203,8 +203,9 @@ object StreamingOps {
         col("l_user").as("user_id"))
     // the symmetric-hash join instantiates FOUR state stores per shuffle
     // partition per micro-batch — the heaviest case for the narrow
-    // state partitioning (see withStatePartitions)
-    val q = withStatePartitions(spark, 8) {
+    // state partitioning (see withStatePartitions), so it runs at the
+    // narrowest setting of the family (4, like streamDedup)
+    val q = withStatePartitions(spark, 4) {
       joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -318,7 +319,13 @@ object StreamingOps {
     * `nBatches` parquet files consumed one file per trigger.
     */
   def streamIncrementalDedup(spark: SparkSession, docsPath: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 4): DataFrame = withStatePartitions(spark, 8) {
+    // the narrow partitioning covers the whole ingest loop, not just a
+    // stream start: the seed index build and every foreachBatch mining
+    // job shuffle MICRO-BATCH-sized tables (small by the premise of
+    // incremental ingest), so their shuffles are sized to the batch,
+    // not the corpus — on a real cluster this is keyed to expected
+    // batch volume the same way the state partitioning is
     import spark.implicits._
     val docs = spark.read.parquet(stageDir(docsPath))
       .where(col("doc_id") < 2000).select(col("doc_id"), col("text"))
