@@ -90,8 +90,17 @@ object Graph {
     var ranks = ids.select(col("id"), lit(Scale).as("rank"))
     var i = 0
     while (i < iterations) {
-      ranks = rankRound(ids, withDeg, ranks).localCheckpoint(true)
+      ranks = rankRound(ids, withDeg, ranks)
       i += 1
+      // checkpoint on a STRIDE, never after the last round: each
+      // round's ranks has exactly one consumer (the next round), so a
+      // per-round eager checkpoint was a pure materialization barrier —
+      // unlike the CC loop there is no per-round fixpoint probe that
+      // needs the data. The stride still bounds plan depth (the
+      // lineage-truncation discipline exists for Catalyst's
+      // re-optimization cost, which grows with UNBOUNDED towers, not
+      // a 4-round window), so arbitrary iteration counts stay safe.
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
