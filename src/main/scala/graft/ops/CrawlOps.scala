@@ -392,7 +392,14 @@ object CrawlOps {
     *
     * @param frontier (keyCol, host, priority)
     * @param delays   (host, delay_ms) — hosts absent here get
-    *                 `defaultDelayMs` via the left join
+    *                 `defaultDelayMs` via the left join. PRECONDITION
+    *                 (ADVICE r05): at most one row per host — a
+    *                 duplicate host row would fan schedule rows out
+    *                 through the left join and silently corrupt
+    *                 eta_ms. Callers own the invariant (robots-derived
+    *                 delay tables are per-host by construction); a
+    *                 defensive groupBy here would tax every schedule
+    *                 with an extra corpus-keyed exchange
     * @return (keyCol, host, slot, eta_ms)
     */
   def politenessSchedule(frontier: DataFrame, delays: DataFrame,

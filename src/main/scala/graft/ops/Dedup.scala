@@ -583,10 +583,11 @@ object Dedup {
           .map { case (fp, i) => (id, i, fp) }
       })
       .toDF("doc_id", "fp_index", "fp")
-      // the winnow kernel's two consumers (df-cap agg and the filtered
-      // self-join) share NO exchange subtree, so without this the
-      // rolling-hash pass over every document runs twice per query
-      .localCheckpoint(true)
+    // fps is NOT checkpointed: its second execution (under the hot-set
+    // broadcast build) overlaps the probe-side pass on idle cores, and
+    // an eager checkpoint here measured +0.46 s (r06) — serializing the
+    // kernel behind a materialization barrier costs more than the
+    // duplicated, parallel pass
     val hot = fps.groupBy("fp")
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") > maxDocFreq).select("fp")
@@ -676,15 +677,11 @@ object Dedup {
     // frequency — shingleHashes emits each tok once per doc — and unlike
     // count_distinct it keeps the map-side partial combine: the exchange
     // carries (tok, partial_count) rows, never raw (tok, id) pairs.
-    // df is only ever CONSULTED for eval-side tokens (`hot` filters
-    // evalKept alone), so the stream semi-joins the broadcast eval
-    // token set BEFORE grouping: the aggregation hash table and its
-    // exchange then hold only eval-matching tokens instead of the train
-    // corpus's entire shingle vocabulary. df values for eval tokens are
-    // unchanged — the semi-join keeps every occurrence of those tokens.
-    val evalTokSet = evalT.select("tok").distinct()
+    // An eval-token semi-join BEFORE this aggregation (df is only
+    // consulted for eval tokens) was tried in r06 and reverted: the
+    // extra broadcast build of the eval token set gated the pipeline's
+    // start and measured net +0.17 s against the smaller agg exchange.
     val all = trainT.unionByName(evalT)
-      .join(broadcast(evalTokSet), Seq("tok"), "left_semi")
     val hot = all.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("tok")
     // not materialized: `hot`'s df-agg exchange subtree is identical

