@@ -629,6 +629,12 @@ object Dedup {
       .agg(count(lit(1)).as("run_len"))
       .groupBy("id_a", "id_b")
       .agg(max(col("run_len")).as("max_run"))
+    // NOT semi-joined to the good-diagonal pair set before aggregating
+    // (the final inner join with `runs` discards no-run pairs anyway):
+    // tried in r06 and measured +0.22 s — the probe side still pays its
+    // shuffle write before AQE can broadcast the tiny pair set, so the
+    // "skipped" aggregation was replaced by an equal-sized exchange
+    // plus a join. The direct aggregation stands.
     val sharedMass = matches.groupBy("id_a", "id_b")
       .agg(count_distinct(col("fp")).as("shared_fps"))
     // BOTH gates: diffuse trigram-level overlap (many shared fps, no
