@@ -90,6 +90,26 @@ object BenchExtra {
             .where(pmod(col("doc_id"), lit(5)) =!= 0)
             .select(col("doc_id"), col("text")),
           numHashes = 64, bands = 32, shingleSize = 3))),
+      // ---- BPE vocab-dimension scaling (VERDICT r05 next #2 "done"
+      //      criterion: 1,024 merges < 5x the 48-merge wall; the
+      //      per-round distributed design measured ~21x by round count) ----
+      "bpe/48_merges" -> (() => {
+        graft.text.Bpe.trainDistributed(
+          docs.select(col("doc_id"), col("text")), numMerges = 48); ()
+      }),
+      "bpe/1024_merges" -> (() => {
+        // minPairFreq=1 so nothing stops early but exhaustion: this
+        // corpus's FULL merge point is 126 merges (every piece
+        // collapses to one symbol — the bounded synthetic vocabulary),
+        // printed for transparency. The row's point: the COMPLETE
+        // merge schedule costs ~the one corpus pass, where the
+        // per-round design paid ~115 ms of driver coordination per
+        // merge (48 merges = 5.5-7.1 s in r05 benches).
+        val m = graft.text.Bpe.trainDistributed(
+          docs.select(col("doc_id"), col("text")), numMerges = 1024,
+          minPairFreq = 1)
+        println(s"[bench-extra] bpe/1024_merges produced=${m.length}")
+      }),
       "ingest/oneshot_equivalent" -> (() => {
         val d = docs.where(col("doc_id") < 2000).select(col("doc_id"), col("text"))
         val isNew = pmod(col("doc_id"), lit(5)) === 0
