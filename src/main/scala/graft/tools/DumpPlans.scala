@@ -29,7 +29,11 @@ object DumpPlans {
       "set. bits/tables self-size from the corpus count."),
     "dedup_substring" -> ("Only (fp, id, pos) triples shuffle; the " +
       "diagonal prefilter is a map-side-combinable hash aggregate that " +
-      "shrinks the window's sort input to qualifying diagonals."),
+      "shrinks the window's sort input to qualifying diagonals. Since " +
+      "r06 the match table (winnow kernel + fp self-join) is " +
+      "materialized once for its three differing-exchange consumers — " +
+      "the visible plan starts at the checkpointed RDD; the match " +
+      "stage's own exchanges are gated via substringMatchTable."),
     "contamination_check" -> ("The eval side broadcasts (BroadcastExchange); " +
       "the train corpus never shuffles before the join — tok-keyed " +
       "exchanges carry only aggregated (tok, count) partials for the df cap."),
@@ -105,9 +109,10 @@ object DumpPlans {
       "the exchange disappears entirely."),
     "anchor_topk" -> ("Per-anchor counts partial-combine map-side " +
       "(partial_count) and the top-1 window runs over the ALREADY " +
-      "aggregated (target, anchor, cnt) rows; Catalyst prunes the token " +
-      "array out of the degree/mentions branches (their scans read " +
-      "doc_id only). All three aggregates share the target key, so the " +
+      "aggregated (target, anchor, cnt) rows; since r06 `mentions` is " +
+      "the SUM of those per-anchor counts (sharing the (v, anchor) " +
+      "exchange with the window) instead of a third full pass over the " +
+      "link derivation. All aggregates share the target key, so the " +
       "final joins co-partition under AQE."),
     "sample_stratified" -> ("The capped-heap kernel (mapPartitions) " +
       "emits <= k candidates per (partition, stratum); every exchange " +
